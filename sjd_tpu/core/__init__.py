@@ -1,0 +1,24 @@
+from .acceptance import AcceptResult, jacobi_accept, speculative_accept
+from .drafts import Window, build_window
+from .engine import EngineConfig, GenerateResult, ModelFns, SJDEngine
+from .grammar import GrammarSpec, GrammarState, apply_grammar, init_state, update_state
+from .processors import SamplingParams, process_window_logits
+
+__all__ = [
+    "AcceptResult",
+    "jacobi_accept",
+    "speculative_accept",
+    "Window",
+    "build_window",
+    "EngineConfig",
+    "GenerateResult",
+    "ModelFns",
+    "SJDEngine",
+    "GrammarSpec",
+    "GrammarState",
+    "apply_grammar",
+    "init_state",
+    "update_state",
+    "SamplingParams",
+    "process_window_logits",
+]

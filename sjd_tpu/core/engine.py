@@ -1,0 +1,408 @@
+"""The SJD engine: ONE jit-compiled fixed-point decode loop for every model.
+
+The reference implements the decode loop three times (JacobiSampler._sample,
+scheduler/jacobi_iteration_lumina_mgpt.py:912-1251, re-used via class-swap by
+jacobi_iteration_emu3.py and jacobi_iteration_anhole.py), with host-side
+Python in the hot path: per-token acceptance reads, KV-cache truncation,
+growing rectangular masks, tensor re-concatenation every step.
+
+Here the whole generation is a single `lax.while_loop` inside one `jax.jit`:
+
+  * static shapes: [B, L_max] token buffer, [layers, S, L_buf, Hkv, D] KV
+    buffer, [B, W] draft window — nothing grows or shrinks;
+  * KV "rollback" is free: acceptance only advances per-sample `length`;
+    rejected rows are overwritten by the next window's in-place write;
+  * CFG runs as a doubled leading batch half ([cond; uncond]) sharing one
+    forward (prepare_cfg_input, reference :742-770), with the uncond prompt
+    either attention-masked (Lumina, :755-760) or a separate padded negative
+    prompt (Emu3, jacobi_iteration_emu3.py:234-278);
+  * acceptance lengths are per-sample (the reference synchronizes the batch
+    to the minimum, :362 — here divergent lengths just advance independent
+    cache offsets).
+
+Model-family differences (grammar, vocab spans, CFG mode, rope) enter as
+*data* via GrammarSpec / SamplingParams / EngineConfig — adapters are
+configuration, not code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import acceptance as acceptance_lib
+from . import drafts as drafts_lib
+from . import grammar as grammar_lib
+from . import processors as processors_lib
+from . import sampling as sampling_lib
+
+PyTree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static decode-loop configuration (the jacobi_param_dict equivalent)."""
+
+    window: int = 16  # max_num_new_tokens
+    # Multi-token decoding is active while the *real* sequence length is in
+    # [prompt_len + interval_l, prompt_len + interval_r); outside it the loop
+    # takes 1-token AR steps (reference :1025, :1142-1144).
+    interval_l: int = 1
+    interval_r: int = 10**9
+    scheme: str = "speculative_jacobi"  # | "jacobi"
+    init: str = "random"  # | "repeat_horizon" | "sample_horizon"
+    max_len: int = 4096  # stop when real length reaches this
+    buf_len: int = 0  # token buffer capacity; 0 -> max_len + window + 1
+    eos_id: int = -1
+    pad_id: int = 0
+    nfe_cap: int = 0  # 0 -> max_len (an AR upper bound)
+    cfg_mode: str = "none"  # | "mask_prompt" | "neg_prompt"
+
+    def resolved_buf_len(self) -> int:
+        return self.buf_len or (self.max_len + self.window + 1)
+
+    def resolved_nfe_cap(self) -> int:
+        return self.nfe_cap or self.max_len
+
+
+class ModelFns(NamedTuple):
+    """What the engine needs from a backbone — the whole 'ModelAdapter'.
+
+    forward(params, ids [S,T], positions [S,T], kv, cache_end [S],
+            valid [S, L_buf], logits_tail) -> (logits [S, tail, V] fp32, kv)
+    init_cache(batch, buf_len) -> KV pytree
+    vocab_size: static int
+    """
+
+    forward: Callable[..., Any]
+    init_cache: Callable[[int, int], Any]
+    vocab_size: int
+
+
+class EngineState(NamedTuple):
+    rng: jax.Array
+    tokens: jnp.ndarray  # [B, L_buf]
+    length: jnp.ndarray  # [B] rows occupied (padded prompt + committed)
+    n_pad: jnp.ndarray  # [S] left-pad / masked rows in the cached prefix
+    kv: Any
+    valid: jnp.ndarray  # [S, kv_buf_len] attendable-prefix mask
+    carried_tokens: jnp.ndarray  # [B, W]
+    carried_probs: jnp.ndarray  # [B, W, V]
+    carried_count: jnp.ndarray  # [B]
+    last_prob: jnp.ndarray  # [B, V]
+    gstate: grammar_lib.GrammarState
+    finished: jnp.ndarray  # [B] bool
+    nfe: jnp.ndarray  # scalar int32 — model forwards (the reference's NFE)
+    steps_multi: jnp.ndarray  # scalar int32 — forwards with window > 1
+    prompt_len: jnp.ndarray  # [B] real (unpadded) prompt length
+
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray  # [B, L_buf] (prompt + generation, left-aligned)
+    length: jnp.ndarray  # [B] total rows (padded prompt + generated)
+    nfe: jnp.ndarray  # scalar — number of model forwards
+    steps_multi: jnp.ndarray
+    gen_count: jnp.ndarray  # [B] tokens generated
+
+
+class SJDEngine:
+    """Configured decode engine; `generate` is jitted once per shape."""
+
+    def __init__(
+        self,
+        model: ModelFns,
+        config: EngineConfig,
+        grammar_spec: grammar_lib.GrammarSpec,
+        sampling_params: processors_lib.SamplingParams,
+    ):
+        self.model = model
+        self.config = config
+        self.spec = grammar_spec
+        self.sampling = sampling_params
+        do_cfg = sampling_params.do_cfg and config.cfg_mode != "none"
+        self.sampling = dataclasses.replace(sampling_params, do_cfg=do_cfg)
+        self._generate = jax.jit(self._generate_impl)
+
+    # -- public API -----------------------------------------------------------
+
+    def generate(
+        self,
+        params: PyTree,
+        rng: jax.Array,
+        prompt: jnp.ndarray,  # [B, P] int32, right-aligned (left-padded)
+        prompt_mask: Optional[jnp.ndarray] = None,  # [B, P] bool
+        neg_prompt: Optional[jnp.ndarray] = None,  # [B, P] for cfg_mode=neg_prompt
+        neg_mask: Optional[jnp.ndarray] = None,
+        gstate: Optional[grammar_lib.GrammarState] = None,
+    ) -> GenerateResult:
+        B, P = prompt.shape
+        if prompt_mask is None:
+            prompt_mask = jnp.ones((B, P), bool)
+        if gstate is None:
+            gstate = grammar_lib.init_state(B)
+        if self.sampling.do_cfg and self.config.cfg_mode == "neg_prompt":
+            assert neg_prompt is not None, "cfg_mode=neg_prompt requires neg_prompt"
+            if neg_mask is None:
+                neg_mask = jnp.ones_like(neg_prompt, dtype=bool)
+        else:
+            neg_prompt = jnp.zeros((B, 0), jnp.int32)
+            neg_mask = jnp.zeros((B, 0), bool)
+        return self._generate(params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate)
+
+    # -- implementation --------------------------------------------------------
+
+    @property
+    def _S_factor(self) -> int:
+        return 2 if self.sampling.do_cfg else 1
+
+    def _tile(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Duplicate the batch into [cond; uncond] halves under CFG."""
+        if self._S_factor == 1:
+            return x
+        return jnp.concatenate([x, x], axis=0)
+
+    def _generate_impl(
+        self, params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate0
+    ) -> GenerateResult:
+        cfg = self.config
+        B, P = prompt.shape
+        W = cfg.window
+        V = self.model.vocab_size
+        L_buf = cfg.resolved_buf_len()
+        kv_buf = L_buf + W + 1
+        S = B * self._S_factor
+
+        if cfg.cfg_mode == "neg_prompt" and self.sampling.do_cfg:
+            # left-pad the two prompts to a common length (the reference pads
+            # in prepare_batch_cfg_model_inputs, jacobi_iteration_emu3.py:234-278)
+            Pn = neg_prompt.shape[1]
+            Pc = max(P, Pn)
+            def lpad(ids, mask, tgt):
+                pad = tgt - ids.shape[1]
+                ids = jnp.pad(ids, ((0, 0), (pad, 0)), constant_values=cfg.pad_id)
+                mask = jnp.pad(mask, ((0, 0), (pad, 0)), constant_values=False)
+                return ids, mask
+            pos_ids, pos_mask = lpad(prompt, prompt_mask, Pc)
+            neg_ids, neg_mask2 = lpad(neg_prompt, neg_mask, Pc)
+            prompt_s = jnp.concatenate([pos_ids, neg_ids], axis=0)
+            mask_s = jnp.concatenate([pos_mask, neg_mask2], axis=0)
+            prompt, prompt_mask = pos_ids, pos_mask
+            P = Pc
+        elif cfg.cfg_mode == "mask_prompt" and self.sampling.do_cfg:
+            # uncond half = same ids, prompt masked down to its last token
+            # (prepare_cfg_input, jacobi_iteration_lumina_mgpt.py:752-760)
+            last_col = jnp.cumsum(prompt_mask.astype(jnp.int32), axis=1) == jnp.sum(
+                prompt_mask.astype(jnp.int32), axis=1, keepdims=True
+            )
+            uncond_mask = prompt_mask & last_col
+            prompt_s = jnp.concatenate([prompt, prompt], axis=0)
+            mask_s = jnp.concatenate([prompt_mask, uncond_mask], axis=0)
+        else:
+            prompt_s = prompt
+            mask_s = prompt_mask
+
+        # ---- arm the grammar with the prompt content --------------------------
+        # The reference's processors re-scan input_ids (which include the
+        # prompt) every step; here the prompt is folded into the grammar
+        # state once. Handles prompts that already contain <image_start> and
+        # grid-size tokens (Lumina T2I templates, Emu3's boi+size header).
+        gstate0 = grammar_lib.update_state(self.spec, gstate0, prompt, prompt_mask)
+
+        # ---- prefill ---------------------------------------------------------
+        kv = self.model.init_cache(S, kv_buf)
+        valid = jnp.ones((S, kv_buf), bool)
+        valid = valid.at[:, :P].set(mask_s)
+        n_pad = jnp.sum(~mask_s, axis=1).astype(jnp.int32)  # [S]
+        positions = jnp.maximum(jnp.cumsum(mask_s.astype(jnp.int32), axis=1) - 1, 0)
+
+        rng, rng_prefill = jax.random.split(rng)
+        logits, kv = self.model.forward(
+            params,
+            prompt_s.astype(jnp.int32),
+            positions.astype(jnp.int32),
+            kv,
+            jnp.zeros((S,), jnp.int32),
+            valid,
+            logits_tail=1,
+        )
+        force_no_cfg = ~gstate0.in_image
+        probs0 = processors_lib.process_window_logits(
+            logits, self.spec, gstate0, self.sampling, force_no_cfg=force_no_cfg
+        )  # [B, 1, V]
+        if self.sampling.greedy:
+            y0 = jnp.argmax(probs0[:, 0, :], axis=-1).astype(jnp.int32)
+            probs0 = sampling_lib.onehot_probs(y0, self.model.vocab_size)[:, None, :]
+        else:
+            y0 = sampling_lib.sample_from_probs(rng_prefill, probs0[:, 0, :])
+
+        tokens = jnp.zeros((B, L_buf), jnp.int32)
+        tokens = tokens.at[:, :P].set(prompt)
+        tokens = tokens.at[:, P].set(y0)
+        length = jnp.full((B,), P + 1, jnp.int32)
+        prompt_len_real = jnp.sum(prompt_mask.astype(jnp.int32), axis=1)
+
+        gstate = grammar_lib.update_state(
+            self.spec, gstate0, y0[:, None], jnp.ones((B,), jnp.int32)
+        )
+
+        state = EngineState(
+            rng=rng,
+            tokens=tokens,
+            length=length,
+            n_pad=n_pad,
+            kv=kv,
+            valid=valid,
+            carried_tokens=jnp.zeros((B, W), jnp.int32),
+            carried_probs=jnp.zeros((B, W, V), jnp.float32),
+            carried_count=jnp.zeros((B,), jnp.int32),
+            last_prob=probs0[:, 0, :],
+            gstate=gstate,
+            finished=(y0 == cfg.eos_id),
+            nfe=jnp.int32(1),
+            steps_multi=jnp.int32(0),
+            prompt_len=prompt_len_real.astype(jnp.int32),
+        )
+
+        # ---- decode loop -----------------------------------------------------
+        nfe_cap = cfg.resolved_nfe_cap()
+
+        def cond(st: EngineState):
+            return (~jnp.all(st.finished)) & (st.nfe < nfe_cap)
+
+        state = jax.lax.while_loop(
+            cond, lambda s: self._step(params, s), state
+        )
+
+        gen_count = state.length - P
+        return GenerateResult(
+            tokens=state.tokens,
+            length=state.length,
+            nfe=state.nfe,
+            steps_multi=state.steps_multi,
+            gen_count=gen_count,
+        )
+
+    def _step(self, params: PyTree, st: EngineState) -> EngineState:
+        cfg = self.config
+        spec = self.spec
+        B = st.tokens.shape[0]
+        W = cfg.window
+        V = self.model.vocab_size
+        rng, rng_draft, rng_tok, rng_acc = jax.random.split(st.rng, 4)
+
+        # real (unpadded) sequence length drives the interval logic
+        pad_b = st.n_pad[:B]
+        real_len = st.length - pad_b
+        lo = st.prompt_len + cfg.interval_l
+        hi = st.prompt_len + cfg.interval_r
+        in_interval = (real_len >= lo) & (real_len < hi)
+        active_w = jnp.where(
+            in_interval, jnp.minimum(W, hi - real_len), 1
+        ).astype(jnp.int32)
+        active_w = jnp.clip(active_w, 1, W)
+
+        # ---- build the draft window -----------------------------------------
+        win = drafts_lib.build_window(
+            rng_draft,
+            scheme=cfg.init,
+            spec=spec,
+            gstate=st.gstate,
+            tokens=st.tokens,
+            length=st.length,
+            last_prob=st.last_prob,
+            carried_tokens=st.carried_tokens,
+            carried_probs=st.carried_probs,
+            carried_count=st.carried_count,
+            window=W,
+            vocab_size=V,
+        )
+
+        # ---- one forward over the window (CFG: doubled batch) ----------------
+        x_s = self._tile(win.x)
+        cache_end = self._tile(st.length - 1)
+        i = jnp.arange(W, dtype=jnp.int32)[None, :]
+        positions = (self._tile(st.length)[:, None] - 1 - st.n_pad[:, None]) + i
+        logits, kv = self.model.forward(
+            params,
+            x_s,
+            positions.astype(jnp.int32),
+            st.kv,
+            cache_end.astype(jnp.int32),
+            st.valid,
+            logits_tail=None,
+        )
+
+        force_no_cfg = ~st.gstate.in_image
+        probs = processors_lib.process_window_logits(
+            logits, spec, st.gstate, self.sampling, force_no_cfg=force_no_cfg
+        )  # [B, W, V]
+
+        if self.sampling.greedy:
+            # Greedy decoding sharpens the model dist to a one-hot so the
+            # speculative acceptance test r < p_new/p_draft degenerates to
+            # exact argmax matching and SJD bit-matches AR decoding.
+            y = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            probs = sampling_lib.onehot_probs(y, V)
+        else:
+            y = sampling_lib.sample_from_probs(rng_tok, probs)
+
+        # ---- acceptance -------------------------------------------------------
+        def resample_fn(r, residual_logits, reject_row):
+            p = processors_lib.process_residual_logits(
+                residual_logits, spec, st.gstate, self.sampling, reject_row
+            )
+            if self.sampling.greedy:
+                return jnp.argmax(p, axis=-1).astype(jnp.int32)
+            return sampling_lib.sample_from_probs(r, p)
+
+        if cfg.scheme == "speculative_jacobi":
+            res = acceptance_lib.speculative_accept(
+                rng_acc, win.x, y, win.p_draft, probs, active_w, resample_fn
+            )
+        elif cfg.scheme == "jacobi":
+            res = acceptance_lib.jacobi_accept(win.x, y, probs, active_w)
+        else:
+            raise ValueError(f"unknown scheme {cfg.scheme!r}")
+
+        n_eff = jnp.where(st.finished, 0, res.n).astype(jnp.int32)
+
+        # ---- commit -----------------------------------------------------------
+        def commit_row(buf, out, off):
+            return jax.lax.dynamic_update_slice(buf, out, (off,))
+
+        tokens = jax.vmap(commit_row)(st.tokens, res.out_tokens, st.length)
+        length = st.length + n_eff
+
+        gstate = grammar_lib.update_state(spec, st.gstate, res.out_tokens, n_eff)
+
+        last_prob = acceptance_lib._gather_rows(res.out_probs, res.n - 1)
+        carried_count = jnp.where(st.finished, 0, res.carried_count)
+
+        j = jnp.arange(W, dtype=jnp.int32)[None, :]
+        committed_live = j < n_eff[:, None]
+        hit_eos = jnp.any(committed_live & (res.out_tokens == cfg.eos_id), axis=1)
+        room_cap = min(cfg.max_len, cfg.resolved_buf_len() - W - 1)
+        out_of_room = (length - pad_b) >= jnp.int32(room_cap)
+        finished = st.finished | hit_eos | out_of_room
+
+        return EngineState(
+            rng=rng,
+            tokens=tokens,
+            length=length,
+            n_pad=st.n_pad,
+            kv=kv,
+            valid=st.valid,
+            carried_tokens=res.carried_tokens,
+            carried_probs=res.carried_probs,
+            carried_count=carried_count,
+            last_prob=last_prob,
+            gstate=gstate,
+            finished=finished,
+            nfe=st.nfe + 1,
+            steps_multi=st.steps_multi + jnp.any(active_w > 1).astype(jnp.int32),
+            prompt_len=st.prompt_len,
+        )

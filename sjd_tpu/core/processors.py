@@ -1,0 +1,103 @@
+"""The logits pipeline: CFG mix -> grammar -> top-k/top-p -> probabilities.
+
+Replaces the reference's LogitsProcessorList machinery
+(sampling_logits2tokens, scheduler/jacobi_iteration_lumina_mgpt.py:84-132;
+processor stack built in renew_pipeline, :432-468) with one pure function
+over the whole [B, W, V] window.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import grammar as grammar_lib
+from . import sampling
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """The de-facto jacobi_param_dict schema of the reference
+    (test_lumina_mgpt.py:31-63, model_wrappers/model_loader.py:269-280)."""
+
+    guidance_scale: float = 3.0
+    do_cfg: bool = True
+    image_top_k: int = 2000
+    text_top_k: int = 10
+    top_p: Optional[float] = None
+    temperature: float = 1.0
+    greedy: bool = False  # do_sample=False equivalent
+
+
+def cfg_mix(
+    logits: jnp.ndarray,  # [2B, W, V] — [cond; uncond] halves
+    guidance_scale: float,
+    force_no_cfg: jnp.ndarray,  # [B] bool — outside an image segment
+) -> jnp.ndarray:
+    """g * (cond - uncond) + uncond, gated per sample by force_no_cfg
+    (check_is_force_no_cfg, jacobi_iteration_lumina_mgpt.py:70-80, :97-104)."""
+    B = logits.shape[0] // 2
+    cond, uncond = logits[:B], logits[B:]
+    mixed = guidance_scale * (cond - uncond) + uncond
+    return jnp.where(force_no_cfg[:, None, None], cond, mixed)
+
+
+def process_window_logits(
+    logits: jnp.ndarray,  # [S, W, V] fp32 (S = 2B with CFG else B)
+    spec: grammar_lib.GrammarSpec,
+    gstate: grammar_lib.GrammarState,
+    params: SamplingParams,
+    *,
+    force_no_cfg: Optional[jnp.ndarray] = None,  # [B] bool
+) -> jnp.ndarray:
+    """Returns processed per-token probabilities [B, W, V] (fp32, sums to 1).
+
+    Matches the reference order exactly: CFG mix -> grammar processor ->
+    interleaved top-k (-> top-p) -> softmax
+    (sampling_logits2tokens + renew_pipeline's processor list).
+    """
+    if params.do_cfg and params.guidance_scale != 1.0:
+        B = logits.shape[0] // 2
+        if force_no_cfg is None:
+            force_no_cfg = jnp.zeros((B,), bool)
+        scores = cfg_mix(logits, params.guidance_scale, force_no_cfg)
+    else:
+        scores = logits
+
+    if params.temperature != 1.0:
+        scores = scores / params.temperature
+
+    scores = grammar_lib.apply_grammar(spec, gstate, scores)
+
+    image_mode = gstate.in_image
+    scores = sampling.top_k_dual(
+        scores, image_mode, params.image_top_k, params.text_top_k
+    )
+    if params.top_p is not None and params.top_p < 1.0:
+        scores = sampling.top_p(scores, params.top_p)
+
+    return jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+
+
+def process_residual_logits(
+    residual_logits: jnp.ndarray,  # [B, V] — log(max(0, p_new - p_draft))
+    spec: grammar_lib.GrammarSpec,
+    gstate: grammar_lib.GrammarState,
+    params: SamplingParams,
+    offset_in_window: jnp.ndarray,  # [B] — window row of the rejected token
+) -> jnp.ndarray:
+    """Re-constrain the rejection-resampling residual, as
+    reject_sampling_single_token does (jacobi_iteration_lumina_mgpt.py:215-241):
+    grammar + top-k run again on the residual logits, then softmax."""
+    scores = grammar_lib.apply_grammar_single(
+        spec, gstate, residual_logits, offset_in_window
+    )
+    scores = sampling.top_k_dual(
+        scores[:, None, :], gstate.in_image, params.image_top_k, params.text_top_k
+    )[:, 0, :]
+    if params.top_p is not None and params.top_p < 1.0:
+        scores = sampling.top_p(scores, params.top_p)
+    return jax.nn.softmax(scores.astype(jnp.float32), axis=-1)

@@ -1,0 +1,461 @@
+"""Generic TPU-native decoder-only transformer with a static KV cache.
+
+One parametric decoder covers every backbone in the reference repo:
+
+  * Chameleon / Lumina-mGPT-7B  — per-head qk layer-norm, MHA, 1-D RoPE
+    (reference: lumina_mgpt/model/chameleon/modeling_chameleon.py:198-592)
+  * Emu3-8B                      — GQA (8 kv heads), rope_theta=1e6
+    (reference: emu3/mllm/modeling_emu3.py)
+  * LlamaGen GPT-B..3B           — 2-D RoPE over the token grid, fused qkv
+    (reference: llamagen/llamagen.py:441-455, 203-219)
+  * Anole (HF Chameleon port)    — same as Chameleon.
+
+TPU-first design decisions:
+  * Stacked layer parameters + `lax.scan` over layers: one compiled layer
+    body, fast compile, natural sharding of the `[n_layers, ...]` leading dim.
+  * Static `[S, L_buf, H_kv, D]` KV buffers written in place at a per-sample
+    dynamic offset; "rollback" after speculative rejection is a no-op (the
+    next window overwrites the rejected rows), unlike the reference's
+    per-layer tensor truncation (jacobi_iteration_lumina_mgpt.py:47-54).
+  * Per-sample position ids derived from a per-sample valid-prefix mask so
+    CFG prompt-masking (jacobi_iteration_lumina_mgpt.py:755-760) needs no
+    separate code path.
+  * All matmuls in bf16 on the MXU with fp32 accumulation; softmax and
+    logits in fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+PyTree = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    """Shape/arch hyperparameters for the generic decoder."""
+
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rope_theta: float = 10000.0
+    # "1d": standard LLaMA RoPE on position ids.
+    # "2d": LlamaGen grid RoPE (half the rotary dims encode row, half column;
+    #        reference llamagen/llamagen.py:441-455). The table is precomputed
+    #        per absolute position, so apply-side code is shared.
+    rope_style: str = "1d"
+    # Chameleon qk-norm: LayerNorm over head_dim (no affine in the stats) with
+    # per-head gamma/beta (reference modeling_chameleon.py:198-221, 270-275).
+    qk_norm: bool = False
+    qk_norm_eps: float = 1e-5
+    # Chameleon `swin_norm=True` variant normalizes sublayer *outputs*
+    # (reference modeling_chameleon.py:669-760); False = pre-norm (LLaMA).
+    swin_norm: bool = False
+    norm_eps: float = 1e-5
+    tie_word_embeddings: bool = False
+    # Emu3 applies dropout to embeddings at train time
+    # (emu3/mllm/modeling_emu3.py:1050); inference ignores it.
+    dtype: Any = jnp.bfloat16
+    # 2d rope grid parameters (LlamaGen): number of conditioning positions
+    # preceding the image grid and the grid side length.
+    rope_2d_cls_len: int = 120
+    rope_2d_grid_side: int = 32
+    max_position_embeddings: int = 16384
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+class KVCache(NamedTuple):
+    """Preallocated per-layer KV buffers.
+
+    k, v: [num_layers, S, L_buf, H_kv, D] in the model compute dtype.
+    The live region of sample ``s`` is ``[0, cache_end[s])``; rows past the
+    end are garbage that the next window write overwrites. There is no
+    rollback operation — this is the TPU replacement for the reference's
+    `delete_false_key_value` truncation.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @property
+    def buf_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_kv_cache(cfg: DecoderConfig, batch: int, buf_len: int) -> KVCache:
+    shape = (cfg.num_layers, batch, buf_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, cfg.dtype), v=jnp.zeros(shape, cfg.dtype))
+
+
+# ---------------------------------------------------------------------------
+# RoPE tables
+# ---------------------------------------------------------------------------
+
+
+def rope_table_1d(cfg: DecoderConfig, max_pos: int) -> jnp.ndarray:
+    """[max_pos, 2, head_dim] (cos, sin) table, LLaMA split-half convention."""
+    half = cfg.head_dim // 2
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
+    )
+    t = jnp.arange(max_pos, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)  # [P, half]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # [P, D]
+    return jnp.stack([jnp.cos(emb), jnp.sin(emb)], axis=1)  # [P, 2, D]
+
+
+def rope_table_2d(cfg: DecoderConfig, max_pos: int) -> jnp.ndarray:
+    """LlamaGen-style 2-D grid RoPE flattened to an absolute-position table.
+
+    Positions [0, cls_len) are conditioning tokens (zero rotation — LlamaGen
+    precomputes a zero-angle block for the class/caption prefix, reference
+    llamagen/llamagen.py:447-452); positions beyond map row-major onto a
+    (side x side) grid, with the first half of the rotary dims encoding the
+    row index and the second half the column index.
+    """
+    quarter = cfg.head_dim // 4
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, quarter, dtype=jnp.float32) / quarter)
+    )
+    pos = jnp.arange(max_pos, dtype=jnp.int32)
+    grid_pos = jnp.maximum(pos - cfg.rope_2d_cls_len, 0)
+    row = (grid_pos // cfg.rope_2d_grid_side).astype(jnp.float32)
+    col = (grid_pos % cfg.rope_2d_grid_side).astype(jnp.float32)
+    in_grid = (pos >= cfg.rope_2d_cls_len).astype(jnp.float32)[:, None]
+    f_row = row[:, None] * inv_freq[None, :] * in_grid  # [P, quarter]
+    f_col = col[:, None] * inv_freq[None, :] * in_grid
+    # split-half convention over the full head_dim: [row, col, row, col]
+    half = jnp.concatenate([f_row, f_col], axis=-1)  # [P, D/2]
+    emb = jnp.concatenate([half, half], axis=-1)  # [P, D]
+    return jnp.stack([jnp.cos(emb), jnp.sin(emb)], axis=1)
+
+
+def make_rope_table(cfg: DecoderConfig, max_pos: Optional[int] = None) -> jnp.ndarray:
+    max_pos = max_pos or cfg.max_position_embeddings
+    if cfg.rope_style == "2d":
+        return rope_table_2d(cfg, max_pos)
+    if cfg.rope_style == "1d":
+        return rope_table_1d(cfg, max_pos)
+    raise ValueError(f"unknown rope_style {cfg.rope_style!r}")
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    a, b = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-b, a], axis=-1)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [S, T, H, D]; cos/sin: [S, T, D]."""
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    return (x * cos + _rotate_half(x) * sin).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def init_params(rng: jax.Array, cfg: DecoderConfig) -> PyTree:
+    """Random-init parameters (weight porting fills these from checkpoints)."""
+
+    def dense(key, fan_in, shape):
+        scale = 1.0 / math.sqrt(fan_in)
+        return (jax.random.normal(key, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    keys = jax.random.split(rng, 10)
+    n, d, i = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    layers = {
+        "attn_norm": jnp.ones((n, d), cfg.dtype),
+        "wq": dense(keys[0], d, (n, d, cfg.q_dim)),
+        "wk": dense(keys[1], d, (n, d, cfg.kv_dim)),
+        "wv": dense(keys[2], d, (n, d, cfg.kv_dim)),
+        "wo": dense(keys[3], cfg.q_dim, (n, cfg.q_dim, d)),
+        "mlp_norm": jnp.ones((n, d), cfg.dtype),
+        "w_gate": dense(keys[4], d, (n, d, i)),
+        "w_up": dense(keys[5], d, (n, d, i)),
+        "w_down": dense(keys[6], i, (n, i, d)),
+    }
+    if cfg.qk_norm:
+        layers["q_norm_scale"] = jnp.ones((n, cfg.num_heads, cfg.head_dim), cfg.dtype)
+        layers["q_norm_bias"] = jnp.zeros((n, cfg.num_heads, cfg.head_dim), cfg.dtype)
+        layers["k_norm_scale"] = jnp.ones(
+            (n, cfg.num_kv_heads, cfg.head_dim), cfg.dtype
+        )
+        layers["k_norm_bias"] = jnp.zeros(
+            (n, cfg.num_kv_heads, cfg.head_dim), cfg.dtype
+        )
+    params = {
+        "embed": dense(keys[7], d, (cfg.vocab_size, d)),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), cfg.dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(keys[8], d, (d, cfg.vocab_size))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Core ops
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale
+
+
+def head_layer_norm(
+    x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float
+) -> jnp.ndarray:
+    """Chameleon qk-norm: LayerNorm over head_dim, per-head affine.
+
+    x: [S, T, H, D]; scale/bias: [H, D].
+    Mirrors ChameleonLayerNorm (modeling_chameleon.py:198-221): stats over the
+    last dim only, affine applied per head.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def write_kv(cache: jnp.ndarray, new: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
+    """Scatter a [S, T, H, D] window into a [S, L_buf, H, D] buffer at
+    per-sample row offsets. XLA lowers the vmapped dynamic_update_slice to an
+    in-place scatter on TPU."""
+
+    def upd(c, n, o):
+        return jax.lax.dynamic_update_slice(c, n, (o, 0, 0))
+
+    return jax.vmap(upd)(cache, new, offsets)
+
+
+def _attend(
+    q: jnp.ndarray,  # [S, T, H, D]
+    k: jnp.ndarray,  # [S, L, Hkv, D]
+    v: jnp.ndarray,  # [S, L, Hkv, D]
+    mask: jnp.ndarray,  # [S, T, L] bool
+) -> jnp.ndarray:
+    """Masked MHA/GQA attention without materializing repeated KV heads."""
+    S, T, H, D = q.shape
+    Hkv = k.shape[2]
+    group = H // Hkv
+    qg = q.reshape(S, T, Hkv, group, D)
+    scores = jnp.einsum(
+        "sthgd,slhd->shgtl", qg, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(D)
+    neg = jnp.finfo(jnp.float32).min
+    scores = jnp.where(mask[:, None, None, :, :], scores, neg)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "shgtl,slhd->sthgd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(S, T, H, D).astype(q.dtype)
+
+
+def _decode_masks(
+    cache_end: jnp.ndarray,  # [S]
+    valid: jnp.ndarray,  # [S, L_buf]
+    T: int,
+    L_buf: int,
+) -> jnp.ndarray:
+    """Attention mask for a draft window appended at cache_end.
+
+    Query (window slot) i may attend key row j iff
+      j <= cache_end + i                (prefix + causal within the window)
+      and (valid[j] or j >= cache_end)  (CFG prompt masking applies only to
+                                         the cached prefix; window rows and
+                                         committed tokens are always valid)
+    This reproduces the reference's grown rectangular mask with a tril block
+    on the new-token diagonal (jacobi_iteration_lumina_mgpt.py:816-846) as a
+    pure function of (cache_end, valid) with static shapes.
+    """
+    j = jnp.arange(L_buf, dtype=jnp.int32)[None, None, :]
+    i = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    ce = cache_end[:, None, None]
+    causal = j <= ce + i
+    ok = valid[:, None, :] | (j >= ce)
+    return causal & ok
+
+
+class ForwardResult(NamedTuple):
+    logits: jnp.ndarray  # [S, T_out, V] float32
+    kv: KVCache
+
+
+def forward(
+    params: PyTree,
+    cfg: DecoderConfig,
+    ids: jnp.ndarray,  # [S, T] int32
+    positions: jnp.ndarray,  # [S, T] int32 (per-sample position ids)
+    kv: KVCache,
+    cache_end: jnp.ndarray,  # [S] int32 — rows already live in the cache
+    valid: jnp.ndarray,  # [S, L_buf] bool — attendable prefix mask
+    rope_table: jnp.ndarray,  # [P, 2, D]
+    *,
+    logits_tail: Optional[int] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+) -> ForwardResult:
+    """One forward over a window of T tokens with the static KV cache.
+
+    Used both for prefill (T = prompt length, cache_end = 0) and for SJD
+    draft windows (T = window size). Returns fp32 logits for the last
+    ``logits_tail`` positions (all positions if None) and the updated cache.
+    """
+    S, T = ids.shape
+    L_buf = kv.buf_len
+
+    if inputs_embeds is not None:
+        h = inputs_embeds.astype(cfg.dtype)
+    else:
+        h = params["embed"][ids]
+
+    rope = rope_table[positions]  # [S, T, 2, D]
+    cos, sin = rope[:, :, 0, :], rope[:, :, 1, :]
+    mask = _decode_masks(cache_end, valid, T, L_buf)
+
+    def layer(h, xs):
+        p, k_cache, v_cache = xs
+
+        def attn_block(x):
+            q = (x @ p["wq"]).reshape(S, T, cfg.num_heads, cfg.head_dim)
+            k = (x @ p["wk"]).reshape(S, T, cfg.num_kv_heads, cfg.head_dim)
+            v = (x @ p["wv"]).reshape(S, T, cfg.num_kv_heads, cfg.head_dim)
+            if cfg.qk_norm:
+                q = head_layer_norm(
+                    q, p["q_norm_scale"], p["q_norm_bias"], cfg.qk_norm_eps
+                )
+                k = head_layer_norm(
+                    k, p["k_norm_scale"], p["k_norm_bias"], cfg.qk_norm_eps
+                )
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            k_all = write_kv(k_cache, k, cache_end)
+            v_all = write_kv(v_cache, v, cache_end)
+            out = _attend(q, k_all, v_all, mask)
+            return out.reshape(S, T, cfg.q_dim) @ p["wo"], k_all, v_all
+
+        def mlp_block(x):
+            g = x @ p["w_gate"]
+            u = x @ p["w_up"]
+            return (jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u) @ p[
+                "w_down"
+            ]
+
+        if cfg.swin_norm:
+            # Chameleon swin variant: residual + norm(sublayer(x))
+            a, k_all, v_all = attn_block(h)
+            h1 = h + rms_norm(a, p["attn_norm"], cfg.norm_eps)
+            h2 = h1 + rms_norm(mlp_block(h1), p["mlp_norm"], cfg.norm_eps)
+        else:
+            a, k_all, v_all = attn_block(rms_norm(h, p["attn_norm"], cfg.norm_eps))
+            h1 = h + a
+            h2 = h1 + mlp_block(rms_norm(h1, p["mlp_norm"], cfg.norm_eps))
+        return h2, (k_all, v_all)
+
+    h, (k_new, v_new) = jax.lax.scan(layer, h, (params["layers"], kv.k, kv.v))
+    h = rms_norm(h, params["final_norm"], cfg.norm_eps)
+
+    if logits_tail is not None and logits_tail < T:
+        h = h[:, T - logits_tail :, :]
+
+    if cfg.tie_word_embeddings:
+        logits = jnp.einsum(
+            "std,vd->stv", h, params["embed"], preferred_element_type=jnp.float32
+        )
+    else:
+        logits = jnp.einsum(
+            "std,dv->stv", h, params["lm_head"], preferred_element_type=jnp.float32
+        )
+    return ForwardResult(logits=logits.astype(jnp.float32), kv=KVCache(k_new, v_new))
+
+
+def forward_train(
+    params: PyTree,
+    cfg: DecoderConfig,
+    ids: jnp.ndarray,  # [B, T]
+    positions: jnp.ndarray,  # [B, T]
+    attn_mask: Optional[jnp.ndarray] = None,  # [B, T] bool padding mask
+    rope_table: Optional[jnp.ndarray] = None,
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Cache-free causal forward for training/evaluating full sequences.
+
+    Returns fp32 logits [B, T, V]. Uses `jax.checkpoint` on the layer body to
+    trade FLOPs for HBM (the TPU equivalent of the reference's FSDP
+    activation checkpointing, xllmx/solvers/finetune/finetune.py:348-358).
+    """
+    B, T = ids.shape
+    if rope_table is None:
+        rope_table = make_rope_table(cfg, int(positions.max()) + 1 if positions.size else T)
+    h = params["embed"][ids]
+    rope = rope_table[positions]
+    cos, sin = rope[:, :, 0, :], rope[:, :, 1, :]
+    i = jnp.arange(T, dtype=jnp.int32)
+    mask = i[None, :, None] >= i[None, None, :]  # [1, T, T]
+    if attn_mask is not None:
+        mask = mask & attn_mask[:, None, :]
+    mask = jnp.broadcast_to(mask, (B, T, T))
+
+    def layer(h, p):
+        def attn_block(x):
+            q = (x @ p["wq"]).reshape(B, T, cfg.num_heads, cfg.head_dim)
+            k = (x @ p["wk"]).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+            v = (x @ p["wv"]).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+            if cfg.qk_norm:
+                q = head_layer_norm(
+                    q, p["q_norm_scale"], p["q_norm_bias"], cfg.qk_norm_eps
+                )
+                k = head_layer_norm(
+                    k, p["k_norm_scale"], p["k_norm_bias"], cfg.qk_norm_eps
+                )
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            return _attend(q, k, v, mask).reshape(B, T, cfg.q_dim) @ p["wo"]
+
+        def mlp_block(x):
+            g = x @ p["w_gate"]
+            u = x @ p["w_up"]
+            return (jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u) @ p[
+                "w_down"
+            ]
+
+        if cfg.swin_norm:
+            h1 = h + rms_norm(attn_block(h), p["attn_norm"], cfg.norm_eps)
+            h2 = h1 + rms_norm(mlp_block(h1), p["mlp_norm"], cfg.norm_eps)
+        else:
+            h1 = h + attn_block(rms_norm(h, p["attn_norm"], cfg.norm_eps))
+            h2 = h1 + mlp_block(rms_norm(h1, p["mlp_norm"], cfg.norm_eps))
+        return h2, None
+
+    body = jax.checkpoint(layer) if remat else layer
+    h, _ = jax.lax.scan(body, h, params["layers"])
+    h = rms_norm(h, params["final_norm"], cfg.norm_eps)
+    if cfg.tie_word_embeddings:
+        return jnp.einsum(
+            "btd,vd->btv", h, params["embed"], preferred_element_type=jnp.float32
+        ).astype(jnp.float32)
+    return jnp.einsum(
+        "btd,dv->btv", h, params["lm_head"], preferred_element_type=jnp.float32
+    ).astype(jnp.float32)
