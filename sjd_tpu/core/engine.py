@@ -133,25 +133,48 @@ class SJDEngine:
         self,
         params: PyTree,
         rng: jax.Array,
-        prompt: jnp.ndarray,  # [B, P] int32, right-aligned (left-padded)
+        prompt: Optional[jnp.ndarray] = None,  # [B, P] int32 (left-padded)
         prompt_mask: Optional[jnp.ndarray] = None,  # [B, P] bool
         neg_prompt: Optional[jnp.ndarray] = None,  # [B, P] for cfg_mode=neg_prompt
         neg_mask: Optional[jnp.ndarray] = None,
         gstate: Optional[grammar_lib.GrammarState] = None,
+        prompt_embeds: Optional[jnp.ndarray] = None,  # [B, P, D] conditioning
+        neg_prompt_embeds: Optional[jnp.ndarray] = None,  # [B, P, D]
     ) -> GenerateResult:
-        B, P = prompt.shape
+        """Generate from a token prompt or (LlamaGen-style) an embedding
+        prompt — the conditioning prefix of llamagen/llamagen.py:383-391."""
+        if prompt_embeds is not None:
+            B, P = prompt_embeds.shape[:2]
+            prompt = jnp.zeros((B, P), jnp.int32) if prompt is None else prompt
+        else:
+            B, P = prompt.shape
         if prompt_mask is None:
             prompt_mask = jnp.ones((B, P), bool)
         if gstate is None:
             gstate = grammar_lib.init_state(B)
         if self.sampling.do_cfg and self.config.cfg_mode == "neg_prompt":
-            assert neg_prompt is not None, "cfg_mode=neg_prompt requires neg_prompt"
-            if neg_mask is None:
-                neg_mask = jnp.ones_like(neg_prompt, dtype=bool)
+            if prompt_embeds is not None:
+                assert neg_prompt_embeds is not None and (
+                    neg_prompt_embeds.shape == prompt_embeds.shape
+                ), "embedding prompts require same-shape neg_prompt_embeds"
+                neg_prompt = jnp.zeros((B, P), jnp.int32)
+                neg_mask = jnp.ones((B, P), bool)
+            else:
+                assert neg_prompt is not None, "cfg_mode=neg_prompt requires neg_prompt"
+                if neg_mask is None:
+                    neg_mask = jnp.ones_like(neg_prompt, dtype=bool)
         else:
             neg_prompt = jnp.zeros((B, 0), jnp.int32)
             neg_mask = jnp.zeros((B, 0), bool)
-        return self._generate(params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate)
+        if prompt_embeds is None:
+            prompt_embeds = jnp.zeros((B, 0, 0), jnp.float32)
+            neg_prompt_embeds = jnp.zeros((B, 0, 0), jnp.float32)
+        elif neg_prompt_embeds is None:
+            neg_prompt_embeds = jnp.zeros_like(prompt_embeds)
+        return self._generate(
+            params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate,
+            prompt_embeds, neg_prompt_embeds,
+        )
 
     # -- implementation --------------------------------------------------------
 
@@ -166,8 +189,10 @@ class SJDEngine:
         return jnp.concatenate([x, x], axis=0)
 
     def _generate_impl(
-        self, params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate0
+        self, params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate0,
+        prompt_embeds, neg_prompt_embeds,
     ) -> GenerateResult:
+        use_embeds = prompt_embeds.ndim == 3 and prompt_embeds.shape[1] > 0
         cfg = self.config
         B, P = prompt.shape
         W = cfg.window
@@ -220,6 +245,17 @@ class SJDEngine:
         positions = jnp.maximum(jnp.cumsum(mask_s.astype(jnp.int32), axis=1) - 1, 0)
 
         rng, rng_prefill = jax.random.split(rng)
+        fwd_kwargs = {}
+        if use_embeds:
+            # LlamaGen-style conditioning prefix: the prompt enters as
+            # embeddings; the token buffer rows under it are placeholders
+            # whose KV lives in the cache and is never re-embedded.
+            embeds_s = (
+                jnp.concatenate([prompt_embeds, neg_prompt_embeds], axis=0)
+                if self._S_factor == 2
+                else prompt_embeds
+            )
+            fwd_kwargs["inputs_embeds"] = embeds_s
         logits, kv = self.model.forward(
             params,
             prompt_s.astype(jnp.int32),
@@ -228,6 +264,7 @@ class SJDEngine:
             jnp.zeros((S,), jnp.int32),
             valid,
             logits_tail=1,
+            **fwd_kwargs,
         )
         force_no_cfg = ~gstate0.in_image
         probs0 = processors_lib.process_window_logits(

@@ -19,3 +19,7 @@ __all__ = [
     "make_rope_table",
     "decoder_model_fns",
 ]
+
+from . import anole, chameleon, emu3, llamagen  # model families
+
+__all__ += ["anole", "chameleon", "emu3", "llamagen"]

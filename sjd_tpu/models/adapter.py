@@ -25,7 +25,8 @@ def decoder_model_fns(
     """ModelFns for the generic decoder with a precomputed RoPE table."""
     rope = transformer.make_rope_table(cfg, max_positions)
 
-    def forward(params, ids, positions, kv, cache_end, valid, logits_tail=None):
+    def forward(params, ids, positions, kv, cache_end, valid, logits_tail=None,
+                inputs_embeds=None):
         out = transformer.forward(
             params,
             cfg,
@@ -36,6 +37,7 @@ def decoder_model_fns(
             valid,
             rope,
             logits_tail=logits_tail,
+            inputs_embeds=inputs_embeds,
         )
         return out.logits, out.kv
 

@@ -1,0 +1,79 @@
+"""Anole model family (HF Chameleon port with a VQVAE decoder).
+
+Backbone = Chameleon-7B (same arch as chameleon.py; reference
+anole/modeling_chameleon.py). The grammar differs from Lumina's FlexAR
+layout: a fixed `image_seq_length` = 1024-token image follows <boi>, with
+<eoi> forced at the next offset and no per-row <eol> tokens
+(scheduler/jacobi_iteration_anhole.py:97-272, the 3-D ports of the HF
+Chameleon processors).
+
+multimodal_generation_mode (reference :121-235):
+  "text-only"     — suppress all image tokens + boi/eoi
+  "image-only"    — suppress text; force boi, 1024 image tokens, eoi, eos
+  "interleaved-*" — no suppression; grammar applies inside open images
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.engine import EngineConfig, SJDEngine
+from ..core.grammar import GrammarSpec
+from ..core.processors import SamplingParams
+from .adapter import decoder_model_fns
+from .chameleon import chameleon_config
+
+BOI_ID = 8197
+EOI_ID = 8196
+IMAGE_VOCAB_START = 4
+IMAGE_VOCAB_END = 8195
+IMAGE_SEQ_LENGTH = 1024  # 32x32 latents (anole/modeling_chameleon.py:1529-1531)
+EOS_ID = 2
+
+ANOLE_GRAMMAR = GrammarSpec(
+    kind="anole",
+    image_start_id=BOI_ID,
+    image_end_id=EOI_ID,
+    image_vocab_start=IMAGE_VOCAB_START,
+    image_vocab_end=IMAGE_VOCAB_END,
+    image_seq_length=IMAGE_SEQ_LENGTH,
+)
+
+
+def anole_engine(
+    *,
+    window: int = 16,
+    guidance_scale: float = 7.0,
+    image_top_k: int = 2000,
+    text_top_k: int = 10,
+    top_p: float | None = None,
+    scheme: str = "speculative_jacobi",
+    init: str = "random",
+    max_len: int = 0,
+    dtype=jnp.bfloat16,
+    greedy: bool = False,
+) -> SJDEngine:
+    cfg = chameleon_config("7B", dtype)
+    if not max_len:
+        max_len = IMAGE_SEQ_LENGTH + 128
+    model = decoder_model_fns(cfg, max_positions=max_len + window + 8)
+    econfig = EngineConfig(
+        window=window,
+        interval_l=1,
+        interval_r=IMAGE_SEQ_LENGTH + 1,
+        scheme=scheme,
+        init=init,
+        max_len=max_len,
+        eos_id=EOS_ID,
+        pad_id=0,
+        cfg_mode="mask_prompt",
+    )
+    sampling = SamplingParams(
+        guidance_scale=guidance_scale,
+        do_cfg=True,
+        image_top_k=image_top_k,
+        text_top_k=text_top_k,
+        top_p=top_p,
+        greedy=greedy,
+    )
+    return SJDEngine(model, econfig, ANOLE_GRAMMAR, sampling)
