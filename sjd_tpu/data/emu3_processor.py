@@ -1,0 +1,82 @@
+"""Emu3 prompt building and output parsing (layer L1).
+
+Token-level re-implementation of Emu3Processor
+(emu3/mllm/processing_emu3.py:81-225): generation-mode prompts are
+  bos + text_ids + <|image start|> + ids("{H}*{W}") + <|image token|>
+and decoding extracts the visual-token grid between the image header and
+<image end>, splitting rows on <|extra_200|>(eol).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Sequence, Tuple
+
+import numpy as np
+
+from ..models.emu3 import (
+    BOI_ID,
+    BOS_ID,
+    EOF_ID,
+    EOI_ID,
+    EOL_ID,
+    EOS_ID,
+    IMG_ID,
+    PAD_ID,
+    VISUAL_END,
+    VISUAL_START,
+)
+
+
+def calculate_generate_size(ratio: str, image_area: int, spatial_factor: int = 8):
+    """'{W}:{H}' ratio + pixel area -> latent (h, w)
+    (processing_emu3.py:246-253)."""
+    w_r, h_r = map(int, ratio.split(":"))
+    cur = w_r / h_r
+    target_h = int(math.sqrt(image_area / cur))
+    target_w = int(target_h * cur)
+    return target_h // spatial_factor, target_w // spatial_factor
+
+
+def build_gen_prompt(
+    text_ids: Sequence[int],
+    h: int,
+    w: int,
+    tokenize: Callable[[str], Sequence[int]],
+) -> List[int]:
+    """Prompt ids for image generation (processing_emu3.py:168-181).
+    `tokenize` encodes the "{H}*{W}" size string with the Emu3 text
+    tokenizer."""
+    return [BOS_ID, *text_ids, BOI_ID, *tokenize(f"{h}*{w}"), IMG_ID]
+
+
+def visual_id_to_codebook(tok: int) -> int:
+    return tok - VISUAL_START
+
+
+def codebook_to_visual_id(code: int) -> int:
+    return code + VISUAL_START
+
+
+def extract_image_grid(tokens: Sequence[int]) -> np.ndarray:
+    """Generated ids -> [h, w] codebook-index grid (the regex split of
+    processing_emu3.py:202-225 without the string round-trip)."""
+    toks = list(tokens)
+    # start after the <|image token|> marker if present
+    if IMG_ID in toks:
+        toks = toks[toks.index(IMG_ID) + 1 :]
+    rows, cur = [], []
+    for t in toks:
+        if t == EOL_ID:
+            rows.append(cur)
+            cur = []
+        elif t in (EOF_ID, EOI_ID, EOS_ID, PAD_ID):
+            break
+        elif VISUAL_START <= t <= VISUAL_END:
+            cur.append(t - VISUAL_START)
+        else:  # stray text token terminates the image
+            break
+    assert rows, "no image rows found"
+    w = len(rows[0])
+    rows = [r for r in rows if len(r) == w]
+    return np.asarray(rows, np.int32)

@@ -76,4 +76,6 @@ def anole_engine(
         top_p=top_p,
         greedy=greedy,
     )
-    return SJDEngine(model, econfig, ANOLE_GRAMMAR, sampling)
+    engine = SJDEngine(model, econfig, ANOLE_GRAMMAR, sampling)
+    engine.model_cfg = cfg
+    return engine

@@ -106,8 +106,11 @@ def lumina_engine(
     max_len: int = 0,
     dtype=jnp.bfloat16,
     greedy: bool = False,
+    kv_quant: bool = True,
 ) -> SJDEngine:
     cfg = chameleon_config(size, dtype)
+    if kv_quant:
+        cfg = dataclasses.replace(cfg, kv_quant=True)
     grid = target_size // 16
     # image span = header(3) + h rows * (w+1) + <eoss>; add slack for text
     if not max_len:
@@ -131,4 +134,6 @@ def lumina_engine(
         text_top_k=text_top_k,
         greedy=greedy,
     )
-    return SJDEngine(model, econfig, LUMINA_GRAMMAR, sampling)
+    engine = SJDEngine(model, econfig, LUMINA_GRAMMAR, sampling)
+    engine.model_cfg = cfg
+    return engine

@@ -117,4 +117,6 @@ def emu3_engine(
         text_top_k=text_top_k,
         greedy=greedy,
     )
-    return SJDEngine(model, econfig, EMU3_GRAMMAR, sampling)
+    engine = SJDEngine(model, econfig, EMU3_GRAMMAR, sampling)
+    engine.model_cfg = cfg
+    return engine

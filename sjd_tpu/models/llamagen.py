@@ -174,4 +174,6 @@ def llamagen_engine(
         text_top_k=image_top_k,
         greedy=greedy,
     )
-    return SJDEngine(model, econfig, LLAMAGEN_GRAMMAR, sampling)
+    engine = SJDEngine(model, econfig, LLAMAGEN_GRAMMAR, sampling)
+    engine.model_cfg = cfg
+    return engine

@@ -61,6 +61,9 @@ class DecoderConfig:
     # Chameleon `swin_norm=True` variant normalizes sublayer *outputs*
     # (reference modeling_chameleon.py:669-760); False = pre-norm (LLaMA).
     swin_norm: bool = False
+    # int8 KV cache with per-(position, head) scales: halves KV memory and
+    # decode-step HBM reads (needed to fit 7B + 768px CFG on one v5e chip).
+    kv_quant: bool = False
     norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
     # Emu3 applies dropout to embeddings at train time
@@ -84,7 +87,10 @@ class DecoderConfig:
 class KVCache(NamedTuple):
     """Preallocated per-layer KV buffers.
 
-    k, v: [num_layers, S, L_buf, H_kv, D] in the model compute dtype.
+    k, v: [num_layers, S, L_buf, H_kv, D] in the model compute dtype, or int8
+    with per-(position, head) scales when ``DecoderConfig.kv_quant`` is set —
+    halving at-rest KV memory and the HBM read bandwidth of every decode step
+    (the usual TPU serving bottleneck).
     The live region of sample ``s`` is ``[0, cache_end[s])``; rows past the
     end are garbage that the next window write overwrites. There is no
     rollback operation — this is the TPU replacement for the reference's
@@ -93,6 +99,8 @@ class KVCache(NamedTuple):
 
     k: jnp.ndarray
     v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None  # [layers, S, L_buf, H_kv] bf16
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def buf_len(self) -> int:
@@ -101,7 +109,25 @@ class KVCache(NamedTuple):
 
 def init_kv_cache(cfg: DecoderConfig, batch: int, buf_len: int) -> KVCache:
     shape = (cfg.num_layers, batch, buf_len, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.kv_quant:
+        sshape = shape[:-1]
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(sshape, jnp.bfloat16),
+            v_scale=jnp.zeros(sshape, jnp.bfloat16),
+        )
     return KVCache(k=jnp.zeros(shape, cfg.dtype), v=jnp.zeros(shape, cfg.dtype))
+
+
+def _quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 per-(position, head) quantization over head_dim."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
@@ -336,7 +362,11 @@ def forward(
     mask = _decode_masks(cache_end, valid, T, L_buf)
 
     def layer(h, xs):
-        p, k_cache, v_cache = xs
+        if cfg.kv_quant:
+            p, k_cache, v_cache, ks_cache, vs_cache = xs
+        else:
+            p, k_cache, v_cache = xs
+            ks_cache = vs_cache = None
 
         def attn_block(x):
             q = (x @ p["wq"]).reshape(S, T, cfg.num_heads, cfg.head_dim)
@@ -351,10 +381,28 @@ def forward(
                 )
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            k_all = write_kv(k_cache, k, cache_end)
-            v_all = write_kv(v_cache, v, cache_end)
-            out = _attend(q, k_all, v_all, mask)
-            return out.reshape(S, T, cfg.q_dim) @ p["wo"], k_all, v_all
+            if cfg.kv_quant:
+                kq, kscale = _quantize_rows(k)
+                vq, vscale = _quantize_rows(v)
+                k_all_q = write_kv(k_cache, kq, cache_end)
+                v_all_q = write_kv(v_cache, vq, cache_end)
+                ks_all = jax.vmap(
+                    lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0))
+                )(ks_cache, kscale, cache_end)
+                vs_all = jax.vmap(
+                    lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0))
+                )(vs_cache, vscale, cache_end)
+                # dequant fuses into the attention dots (no HBM materialization)
+                k_all = k_all_q.astype(cfg.dtype) * ks_all[..., None].astype(cfg.dtype)
+                v_all = v_all_q.astype(cfg.dtype) * vs_all[..., None].astype(cfg.dtype)
+                out = _attend(q, k_all, v_all, mask)
+                caches = (k_all_q, v_all_q, ks_all, vs_all)
+            else:
+                k_all = write_kv(k_cache, k, cache_end)
+                v_all = write_kv(v_cache, v, cache_end)
+                out = _attend(q, k_all, v_all, mask)
+                caches = (k_all, v_all)
+            return out.reshape(S, T, cfg.q_dim) @ p["wo"], caches
 
         def mlp_block(x):
             g = x @ p["w_gate"]
@@ -365,16 +413,22 @@ def forward(
 
         if cfg.swin_norm:
             # Chameleon swin variant: residual + norm(sublayer(x))
-            a, k_all, v_all = attn_block(h)
+            a, caches = attn_block(h)
             h1 = h + rms_norm(a, p["attn_norm"], cfg.norm_eps)
             h2 = h1 + rms_norm(mlp_block(h1), p["mlp_norm"], cfg.norm_eps)
         else:
-            a, k_all, v_all = attn_block(rms_norm(h, p["attn_norm"], cfg.norm_eps))
+            a, caches = attn_block(rms_norm(h, p["attn_norm"], cfg.norm_eps))
             h1 = h + a
             h2 = h1 + mlp_block(rms_norm(h1, p["mlp_norm"], cfg.norm_eps))
-        return h2, (k_all, v_all)
+        return h2, caches
 
-    h, (k_new, v_new) = jax.lax.scan(layer, h, (params["layers"], kv.k, kv.v))
+    if cfg.kv_quant:
+        xs = (params["layers"], kv.k, kv.v, kv.k_scale, kv.v_scale)
+        h, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(layer, h, xs)
+        new_kv = KVCache(k_new, v_new, ks_new, vs_new)
+    else:
+        h, (k_new, v_new) = jax.lax.scan(layer, h, (params["layers"], kv.k, kv.v))
+        new_kv = KVCache(k_new, v_new)
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
 
     if logits_tail is not None and logits_tail < T:
@@ -388,7 +442,7 @@ def forward(
         logits = jnp.einsum(
             "std,dv->stv", h, params["lm_head"], preferred_element_type=jnp.float32
         )
-    return ForwardResult(logits=logits.astype(jnp.float32), kv=KVCache(k_new, v_new))
+    return ForwardResult(logits=logits.astype(jnp.float32), kv=new_kv)
 
 
 def forward_train(

@@ -1,9 +1,14 @@
 """Test environment: force CPU with 8 virtual devices so sharding/pjit tests
-run without TPU hardware. Must run before the first `import jax`."""
+run without TPU hardware.
+
+The container's sitecustomize re-exports JAX_PLATFORMS=axon (the TPU tunnel)
+at interpreter start, so the env var alone is not enough — the platform is
+re-pinned via jax.config before any backend is initialized.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +17,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,108 @@
+"""Data-layer and eval-harness tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sjd_tpu.data import emu3_processor as E
+from sjd_tpu.data import item_processor as I
+from sjd_tpu.eval import PromptRecord, frechet_distance, inception_score, clip_score
+from sjd_tpu.eval import shard_prompts, run_prompt_set, workdir_name
+
+
+def test_flexar_image_block_roundtrip():
+    rs = np.random.RandomState(0)
+    grid = rs.randint(4, 8196, (48, 48)).astype(np.int32)
+    block = I.image_block_from_grid(grid, 768, 768)
+    # layout: start + 2 size + 48*(48+1) + end
+    assert len(block) == 3 + 48 * 49 + 1
+    assert block[0] == I.IMAGE_START_ID and block[-1] == I.IMAGE_END_ID
+    assert block[1] == block[2] == I.SIZE_TOKEN_BASE + 24
+    back = I.image_grid_from_block(block[:-1])
+    np.testing.assert_array_equal(back, grid)
+
+
+def test_split_generation():
+    grid = np.random.RandomState(1).randint(4, 8196, (2, 2)).astype(np.int32)
+    block = I.image_block_from_grid(grid, 32, 32)
+    toks = [100, 101] + block + [102]
+    spans = I.split_generation(toks)
+    kinds = [k for k, _ in spans]
+    assert kinds == ["text", "image", "text"]
+    np.testing.assert_array_equal(I.image_grid_from_block(spans[1][1][:-1]), grid)
+
+
+def test_emu3_prompt_and_extract():
+    text = [5, 6, 7]
+    prompt = E.build_gen_prompt(text, 4, 3, tokenize=lambda s: [900, 901])
+    assert prompt[0] == E.BOS_ID and prompt[-1] == E.IMG_ID
+    assert E.BOI_ID in prompt
+
+    # synth generation: 4 rows of 3 visual tokens + eol, then eof/eoi/eos
+    rs = np.random.RandomState(2)
+    grid = rs.randint(0, 32768, (4, 3))
+    gen = list(prompt)
+    for r in range(4):
+        gen += [int(c) + E.VISUAL_START for c in grid[r]] + [E.EOL_ID]
+    gen += [E.EOF_ID, E.EOI_ID, E.EOS_ID]
+    out = E.extract_image_grid(gen)
+    np.testing.assert_array_equal(out, grid)
+
+
+def test_emu3_generate_size():
+    h, w = E.calculate_generate_size("1:1", 720 * 720)
+    assert (h, w) == (90, 90)
+
+
+def test_shard_prompts_partition():
+    recs = [PromptRecord(index=i, prompt=str(i)) for i in range(103)]
+    seen = []
+    for node in range(2):
+        for wk in range(4):
+            shard = shard_prompts(recs, node_id=node, num_nodes=2,
+                                  worker_id=wk, num_workers=4)
+            seen += [r.index for r in shard]
+    assert sorted(seen) == list(range(103))  # exact partition, no overlap
+
+
+def test_run_prompt_set_idempotent(tmp_path):
+    from PIL import Image
+
+    calls = []
+
+    def sample(prompt):
+        calls.append(prompt)
+        return Image.new("RGB", (8, 8))
+
+    recs = [PromptRecord(index=i, prompt=f"p{i}") for i in range(3)]
+    wd = str(tmp_path / "out")
+    stats = run_prompt_set(sample, recs, wd, log_every=0)
+    assert stats["generated"] == 3
+    stats2 = run_prompt_set(sample, recs, wd, log_every=0)
+    assert stats2["generated"] == 0 and stats2["skipped_existing"] == 3
+    assert len(calls) == 3  # resume did not regenerate
+
+
+def test_metric_math():
+    rs = np.random.RandomState(3)
+    a = rs.randn(200, 16)
+    assert frechet_distance(a, a + 0.0) < 1e-6
+    b = rs.randn(200, 16) + 3.0
+    assert frechet_distance(a, b) > 50
+
+    sharp = np.full((100, 10), 1e-6)
+    sharp[np.arange(100), np.arange(100) % 10] = 1.0
+    sharp /= sharp.sum(1, keepdims=True)
+    uniform = np.full((100, 10), 0.1)
+    assert inception_score(sharp)[0] > inception_score(uniform)[0]
+
+    e = rs.randn(50, 8)
+    assert clip_score(e, e) == pytest.approx(100.0, abs=1e-3)
+
+
+def test_workdir_name_deterministic():
+    a = workdir_name("lumina", cfg=3.0, window=16)
+    b = workdir_name("lumina", window=16, cfg=3.0)
+    assert a == b and "lumina" in a
