@@ -210,14 +210,18 @@ def init_params(rng: jax.Array, cfg: DecoderConfig) -> PyTree:
     n, d, i = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
     layers = {
         "attn_norm": jnp.ones((n, d), cfg.dtype),
-        "wq": dense(keys[0], d, (n, d, cfg.q_dim)),
-        "wk": dense(keys[1], d, (n, d, cfg.kv_dim)),
-        "wv": dense(keys[2], d, (n, d, cfg.kv_dim)),
-        "wo": dense(keys[3], cfg.q_dim, (n, cfg.q_dim, d)),
+        # weights are stored torch-style [layer, out, in] and contracted on
+        # the LAST axis: this is the layout XLA prefers for scanned matmuls
+        # on TPU (avoids 1GB/tensor relayout copies of the 7B weights) and
+        # makes checkpoint porting transpose-free.
+        "wq": dense(keys[0], d, (n, cfg.q_dim, d)),
+        "wk": dense(keys[1], d, (n, cfg.kv_dim, d)),
+        "wv": dense(keys[2], d, (n, cfg.kv_dim, d)),
+        "wo": dense(keys[3], cfg.q_dim, (n, d, cfg.q_dim)),
         "mlp_norm": jnp.ones((n, d), cfg.dtype),
-        "w_gate": dense(keys[4], d, (n, d, i)),
-        "w_up": dense(keys[5], d, (n, d, i)),
-        "w_down": dense(keys[6], i, (n, i, d)),
+        "w_gate": dense(keys[4], d, (n, i, d)),
+        "w_up": dense(keys[5], d, (n, i, d)),
+        "w_down": dense(keys[6], i, (n, d, i)),
     }
     if cfg.qk_norm:
         layers["q_norm_scale"] = jnp.ones((n, cfg.num_heads, cfg.head_dim), cfg.dtype)
@@ -234,13 +238,21 @@ def init_params(rng: jax.Array, cfg: DecoderConfig) -> PyTree:
         "final_norm": jnp.ones((d,), cfg.dtype),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = dense(keys[8], d, (d, cfg.vocab_size))
+        params["lm_head"] = dense(keys[8], d, (cfg.vocab_size, d))
     return params
 
 
 # ---------------------------------------------------------------------------
 # Core ops
 # ---------------------------------------------------------------------------
+
+
+def linear(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """x [..., in] @ w [out, in] -> [..., out] (torch weight layout)."""
+    return jax.lax.dot_general(
+        x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=x.dtype,
+    )
 
 
 def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -369,9 +381,9 @@ def forward(
             ks_cache = vs_cache = None
 
         def attn_block(x):
-            q = (x @ p["wq"]).reshape(S, T, cfg.num_heads, cfg.head_dim)
-            k = (x @ p["wk"]).reshape(S, T, cfg.num_kv_heads, cfg.head_dim)
-            v = (x @ p["wv"]).reshape(S, T, cfg.num_kv_heads, cfg.head_dim)
+            q = linear(x, p["wq"]).reshape(S, T, cfg.num_heads, cfg.head_dim)
+            k = linear(x, p["wk"]).reshape(S, T, cfg.num_kv_heads, cfg.head_dim)
+            v = linear(x, p["wv"]).reshape(S, T, cfg.num_kv_heads, cfg.head_dim)
             if cfg.qk_norm:
                 q = head_layer_norm(
                     q, p["q_norm_scale"], p["q_norm_bias"], cfg.qk_norm_eps
@@ -402,14 +414,14 @@ def forward(
                 v_all = write_kv(v_cache, v, cache_end)
                 out = _attend(q, k_all, v_all, mask)
                 caches = (k_all, v_all)
-            return out.reshape(S, T, cfg.q_dim) @ p["wo"], caches
+            return linear(out.reshape(S, T, cfg.q_dim), p["wo"]), caches
 
         def mlp_block(x):
-            g = x @ p["w_gate"]
-            u = x @ p["w_up"]
-            return (jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u) @ p[
-                "w_down"
-            ]
+            g = linear(x, p["w_gate"])
+            u = linear(x, p["w_up"])
+            return linear(
+                jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u, p["w_down"]
+            )
 
         if cfg.swin_norm:
             # Chameleon swin variant: residual + norm(sublayer(x))
@@ -440,7 +452,7 @@ def forward(
         )
     else:
         logits = jnp.einsum(
-            "std,dv->stv", h, params["lm_head"], preferred_element_type=jnp.float32
+            "std,vd->stv", h, params["lm_head"], preferred_element_type=jnp.float32
         )
     return ForwardResult(logits=logits.astype(jnp.float32), kv=new_kv)
 
@@ -474,9 +486,9 @@ def forward_train(
 
     def layer(h, p):
         def attn_block(x):
-            q = (x @ p["wq"]).reshape(B, T, cfg.num_heads, cfg.head_dim)
-            k = (x @ p["wk"]).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-            v = (x @ p["wv"]).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+            q = linear(x, p["wq"]).reshape(B, T, cfg.num_heads, cfg.head_dim)
+            k = linear(x, p["wk"]).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+            v = linear(x, p["wv"]).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
             if cfg.qk_norm:
                 q = head_layer_norm(
                     q, p["q_norm_scale"], p["q_norm_bias"], cfg.qk_norm_eps
@@ -486,14 +498,14 @@ def forward_train(
                 )
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            return _attend(q, k, v, mask).reshape(B, T, cfg.q_dim) @ p["wo"]
+            return linear(_attend(q, k, v, mask).reshape(B, T, cfg.q_dim), p["wo"])
 
         def mlp_block(x):
-            g = x @ p["w_gate"]
-            u = x @ p["w_up"]
-            return (jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u) @ p[
-                "w_down"
-            ]
+            g = linear(x, p["w_gate"])
+            u = linear(x, p["w_up"])
+            return linear(
+                jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u, p["w_down"]
+            )
 
         if cfg.swin_norm:
             h1 = h + rms_norm(attn_block(h), p["attn_norm"], cfg.norm_eps)
@@ -511,5 +523,5 @@ def forward_train(
             "btd,vd->btv", h, params["embed"], preferred_element_type=jnp.float32
         ).astype(jnp.float32)
     return jnp.einsum(
-        "btd,dv->btv", h, params["lm_head"], preferred_element_type=jnp.float32
+        "btd,vd->btv", h, params["lm_head"], preferred_element_type=jnp.float32
     ).astype(jnp.float32)

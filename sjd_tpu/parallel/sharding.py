@@ -2,10 +2,11 @@
 
 Megatron-style tensor parallelism falls out of the stacked-layer layout:
 
-  wq/wk/wv  [L, d, H*Dh]   -> shard heads (last dim) on 'model'
-  wo        [L, H*Dh, d]   -> shard the contracting dim on 'model' (psum)
-  w_gate/up [L, d, ff]     -> shard ff on 'model'
-  w_down    [L, ff, d]     -> shard the contracting dim on 'model' (psum)
+  wq/wk/wv  [L, H*Dh, d]  -> shard heads (out dim) on 'model'
+  wo        [L, d, H*Dh]  -> shard the contracting dim on 'model' (psum)
+  w_gate/up [L, ff, d]    -> shard ff (out dim) on 'model'
+  w_down    [L, d, ff]    -> shard the contracting dim on 'model' (psum)
+  (weights are torch-layout [out, in], models/transformer.py:init_params)
   qk-norm   [L, H, Dh]     -> per-head params shard with heads — exactly the
                               sharding the reference's ChameleonLayerNorm
                               repeat trick implies (modeling_chameleon.py:206-221)
@@ -35,14 +36,14 @@ def decoder_param_specs(
     m = "model" if tp else None
     layers = {
         "attn_norm": P(None, None),
-        "wq": P(None, None, m),
-        "wk": P(None, None, m),
-        "wv": P(None, None, m),
-        "wo": P(None, m, None),
+        "wq": P(None, m, None),
+        "wk": P(None, m, None),
+        "wv": P(None, m, None),
+        "wo": P(None, None, m),
         "mlp_norm": P(None, None),
-        "w_gate": P(None, None, m),
-        "w_up": P(None, None, m),
-        "w_down": P(None, m, None),
+        "w_gate": P(None, m, None),
+        "w_up": P(None, m, None),
+        "w_down": P(None, None, m),
     }
     if cfg.qk_norm:
         layers["q_norm_scale"] = P(None, m, None)
@@ -55,7 +56,7 @@ def decoder_param_specs(
         "final_norm": P(None),
     }
     if not cfg.tie_word_embeddings:
-        specs["lm_head"] = P(None, m)
+        specs["lm_head"] = P(m, None)
     if fsdp:
         shapes = _decoder_param_shapes(cfg)
         specs = add_fsdp_axis(shapes, specs, data_size)

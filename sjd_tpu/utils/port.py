@@ -81,29 +81,29 @@ def port_hf_llama_like(
             [sd[f"{prefix}layers.{i}.input_layernorm.weight"] for i in range(n)], dt
         ),
         "wq": _stack(
-            [sd[f"{prefix}layers.{i}.self_attn.q_proj.weight"].T for i in range(n)], dt
+            [sd[f"{prefix}layers.{i}.self_attn.q_proj.weight"] for i in range(n)], dt
         ),
         "wk": _stack(
-            [sd[f"{prefix}layers.{i}.self_attn.k_proj.weight"].T for i in range(n)], dt
+            [sd[f"{prefix}layers.{i}.self_attn.k_proj.weight"] for i in range(n)], dt
         ),
         "wv": _stack(
-            [sd[f"{prefix}layers.{i}.self_attn.v_proj.weight"].T for i in range(n)], dt
+            [sd[f"{prefix}layers.{i}.self_attn.v_proj.weight"] for i in range(n)], dt
         ),
         "wo": _stack(
-            [sd[f"{prefix}layers.{i}.self_attn.o_proj.weight"].T for i in range(n)], dt
+            [sd[f"{prefix}layers.{i}.self_attn.o_proj.weight"] for i in range(n)], dt
         ),
         "mlp_norm": _stack(
             [sd[f"{prefix}layers.{i}.post_attention_layernorm.weight"] for i in range(n)],
             dt,
         ),
         "w_gate": _stack(
-            [sd[f"{prefix}layers.{i}.mlp.gate_proj.weight"].T for i in range(n)], dt
+            [sd[f"{prefix}layers.{i}.mlp.gate_proj.weight"] for i in range(n)], dt
         ),
         "w_up": _stack(
-            [sd[f"{prefix}layers.{i}.mlp.up_proj.weight"].T for i in range(n)], dt
+            [sd[f"{prefix}layers.{i}.mlp.up_proj.weight"] for i in range(n)], dt
         ),
         "w_down": _stack(
-            [sd[f"{prefix}layers.{i}.mlp.down_proj.weight"].T for i in range(n)], dt
+            [sd[f"{prefix}layers.{i}.mlp.down_proj.weight"] for i in range(n)], dt
         ),
     }
     if cfg.qk_norm:
@@ -126,7 +126,7 @@ def port_hf_llama_like(
         "final_norm": jnp.asarray(sd[f"{prefix}norm.weight"], dt),
     }
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = jnp.asarray(np.asarray(sd["lm_head.weight"]).T, dt)
+        params["lm_head"] = jnp.asarray(sd["lm_head.weight"], dt)
     return params
 
 
@@ -144,15 +144,15 @@ def port_llamagen(sd: Mapping[str, np.ndarray], cfg: DecoderConfig) -> tuple[dic
         q, k, v = np.split(qkv, [q_dim, q_dim + kv_dim], axis=0)
         q = _interleaved_to_splithalf_rows(q, H, D)
         k = _interleaved_to_splithalf_rows(k, Hkv, D)
-        wq.append(q.T)
-        wk.append(k.T)
-        wv.append(v.T)
-        wo.append(np.asarray(sd[f"layers.{i}.attention.wo.weight"]).T)
+        wq.append(q)
+        wk.append(k)
+        wv.append(v)
+        wo.append(np.asarray(sd[f"layers.{i}.attention.wo.weight"]))
         a_norm.append(sd[f"layers.{i}.attention_norm.weight"])
         m_norm.append(sd[f"layers.{i}.ffn_norm.weight"])
-        w1.append(np.asarray(sd[f"layers.{i}.feed_forward.w1.weight"]).T)
-        w3.append(np.asarray(sd[f"layers.{i}.feed_forward.w3.weight"]).T)
-        w2.append(np.asarray(sd[f"layers.{i}.feed_forward.w2.weight"]).T)
+        w1.append(np.asarray(sd[f"layers.{i}.feed_forward.w1.weight"]))
+        w3.append(np.asarray(sd[f"layers.{i}.feed_forward.w3.weight"]))
+        w2.append(np.asarray(sd[f"layers.{i}.feed_forward.w2.weight"]))
 
     params = {
         "embed": jnp.asarray(sd["tok_embeddings.weight"], dt),
@@ -168,7 +168,7 @@ def port_llamagen(sd: Mapping[str, np.ndarray], cfg: DecoderConfig) -> tuple[dic
             "w_down": _stack(w2, dt),
         },
         "final_norm": jnp.asarray(sd["norm.weight"], dt),
-        "lm_head": jnp.asarray(np.asarray(sd["output.weight"]).T, dt),
+        "lm_head": jnp.asarray(sd["output.weight"], dt),
     }
 
     cond: dict = {}
