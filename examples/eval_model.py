@@ -1,0 +1,92 @@
+"""Benchmark-evaluation CLI — the reference eval_model.py equivalent.
+
+Shards a prompt dataset contiguously across (node, worker), generates
+{index}.png per prompt with skip-existing resume, and (optionally) scores the
+output directory with FID/IS. Multi-node runs pass --node-id/--num-nodes and
+need no communication (eval_model.py:35-56,146-172).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="lumina_mgpt")
+    ap.add_argument("--dataset", default="parti", choices=["parti", "coco"])
+    ap.add_argument("--dataset-path", required=True)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--node-id", type=int, default=0)
+    ap.add_argument("--num-nodes", type=int, default=1)
+    ap.add_argument("--worker-id", type=int, default=0)
+    ap.add_argument("--num-workers", type=int, default=1)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--vq-ckpt", default=None)
+    ap.add_argument("--target-size", type=int, default=768)
+    ap.add_argument("--window", type=int, default=16)
+    ap.add_argument("--cfg", type=float, default=3.0)
+    ap.add_argument("--image-top-k", type=int, default=2000)
+    ap.add_argument("--scheme", default="speculative_jacobi")
+    ap.add_argument("--init", default="random")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--max-prompts", type=int, default=0)
+    ap.add_argument("--fid-reference-dir", default=None)
+    args = ap.parse_args()
+
+    from sjd_tpu.eval import create_dataset, run_prompt_set, shard_prompts, workdir_name
+    from sjd_tpu.loader import load_pretrained_model
+
+    records = create_dataset(args.dataset, args.dataset_path)
+    if args.max_prompts:
+        records = records[: args.max_prompts]
+    shard = shard_prompts(
+        records,
+        node_id=args.node_id,
+        num_nodes=args.num_nodes,
+        worker_id=args.worker_id,
+        num_workers=args.num_workers,
+    )
+    workdir = args.workdir or workdir_name(
+        args.model,
+        ds=args.dataset,
+        size=args.target_size,
+        window=args.window,
+        cfg=args.cfg,
+        topk=args.image_top_k,
+        scheme=args.scheme,
+        init=args.init,
+        seed=args.seed,
+    )
+    print(f"{len(shard)}/{len(records)} prompts -> {workdir}")
+
+    model = load_pretrained_model(
+        args.model,
+        ckpt_dir=args.ckpt_dir,
+        vq_ckpt=args.vq_ckpt,
+        target_size=args.target_size,
+        window=args.window,
+        guidance_scale=args.cfg,
+        image_top_k=args.image_top_k,
+        scheme=args.scheme,
+        init=args.init,
+        seed=args.seed,
+    )
+    stats = run_prompt_set(
+        model.sample_fn, shard, workdir,
+        stats_path=os.path.join(workdir, f"stats_n{args.node_id}_w{args.worker_id}.json"),
+    )
+    print(json.dumps(stats))
+
+    if args.fid_reference_dir:
+        from sjd_tpu.eval import evaluate_quantitative_scores
+
+        scores = evaluate_quantitative_scores(workdir, args.fid_reference_dir)
+        print(json.dumps(scores))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,11 +33,11 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 def _decode_attn_kernel(
     cache_end_ref,  # SMEM [S] int32 (scalar prefetch)
     q_ref,  # [1, 1, GW, D] compute dtype
-    k_ref,  # [1, L, 1, D] int8 or compute dtype
-    v_ref,  # [1, L, 1, D]
-    ks_ref,  # [1, L, 1] bf16 (ones when not quantized)
-    vs_ref,  # [1, L, 1] bf16
-    valid_ref,  # [1, L] int8
+    k_ref,  # [1, 1, L, D] int8 or compute dtype
+    v_ref,  # [1, 1, L, D]
+    ks_ref,  # [1, 1, L, 1] bf16 (ones when not quantized)
+    vs_ref,  # [1, 1, L, 1] bf16
+    valid_ref,  # [1, 1, L] int8
     o_ref,  # [1, 1, GW, D]
     *,
     window: int,
@@ -49,13 +49,13 @@ def _decode_attn_kernel(
 
     q = q_ref[0, 0, :, :]  # [GW, D]
     GW, D = q.shape
-    L = k_ref.shape[1]
+    L = k_ref.shape[2]
 
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
+    k = k_ref[0, 0, :, :]
+    v = v_ref[0, 0, :, :]
     if quantized:
-        k = k.astype(jnp.float32) * ks_ref[0, :, 0].astype(jnp.float32)[:, None]
-        v = v.astype(jnp.float32) * vs_ref[0, :, 0].astype(jnp.float32)[:, None]
+        k = k.astype(jnp.float32) * ks_ref[0, 0, :, :].astype(jnp.float32)
+        v = v.astype(jnp.float32) * vs_ref[0, 0, :, :].astype(jnp.float32)
     else:
         k = k.astype(jnp.float32)
         v = v.astype(jnp.float32)
@@ -74,7 +74,7 @@ def _decode_attn_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (GW, L), 1)
     w_idx = row // group
     causal = col <= cache_end + w_idx
-    ok = (valid_ref[0, :][None, :] > 0) | (col >= cache_end)
+    ok = (valid_ref[0, 0, :].astype(jnp.int32)[None, :] > 0) | (col >= cache_end)
     scores = jnp.where(causal & ok, scores, NEG_INF)
 
     m = jnp.max(scores, axis=-1, keepdims=True)
@@ -107,14 +107,22 @@ def decode_attention(
     L, Hkv = k_cache.shape[1], k_cache.shape[2]
     group = H // Hkv
     quantized = k_cache.dtype == jnp.int8
+    # kernel blocks want head-major [S, Hkv, L, D]; this transpose is why the
+    # kernel is an experimental non-default (attention is not the decode
+    # bottleneck on v5e — see DecoderConfig.attn_impl)
+    k_cache = k_cache.transpose(0, 2, 1, 3)
+    v_cache = v_cache.transpose(0, 2, 1, 3)
+    if k_scale is not None:
+        k_scale = k_scale.transpose(0, 2, 1)
+        v_scale = v_scale.transpose(0, 2, 1)
 
     # [S, W, H, D] -> [S, Hkv, W*G, D] with row r = w*group + g
     qh = q.reshape(S, W, Hkv, group, D).transpose(0, 2, 1, 3, 4)
     qh = qh.reshape(S, Hkv, W * group, D)
 
     if k_scale is None:
-        k_scale = jnp.ones((S, L, Hkv), jnp.bfloat16)
-        v_scale = jnp.ones((S, L, Hkv), jnp.bfloat16)
+        k_scale = jnp.ones((S, Hkv, L), jnp.bfloat16)
+        v_scale = jnp.ones((S, Hkv, L), jnp.bfloat16)
 
     out = pl.pallas_call(
         functools.partial(
@@ -129,20 +137,24 @@ def decode_attention(
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, L, 1, D), lambda s, h, ce: (s, 0, h, 0),
+                    (1, 1, L, D), lambda s, h, ce: (s, h, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, L, 1, D), lambda s, h, ce: (s, 0, h, 0),
+                    (1, 1, L, D), lambda s, h, ce: (s, h, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, L, 1), lambda s, h, ce: (s, 0, h), memory_space=pltpu.VMEM
+                    (1, 1, L, 1), lambda s, h, ce: (s, h, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, L, 1), lambda s, h, ce: (s, 0, h), memory_space=pltpu.VMEM
+                    (1, 1, L, 1), lambda s, h, ce: (s, h, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((1, L), lambda s, h, ce: (s, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 1, L), lambda s, h, ce: (s, 0, 0), memory_space=pltpu.VMEM
+                ),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, W * group, D), lambda s, h, ce: (s, h, 0, 0),
@@ -156,9 +168,9 @@ def decode_attention(
         qh,
         k_cache,
         v_cache,
-        k_scale,
-        v_scale,
-        valid.astype(jnp.int8),
+        k_scale[..., None],
+        v_scale[..., None],
+        valid.astype(jnp.int8)[:, None, :],
     )
     # [S, Hkv, W*G, D] -> [S, W, H, D]
     out = out.reshape(S, Hkv, W, group, D).transpose(0, 2, 1, 3, 4)

@@ -12,8 +12,7 @@ from sjd_tpu.ops.decode_attention import decode_attention
 def _reference_attn(q, k, v, cache_end, valid, window):
     """Mirror of transformer._attend + _decode_masks in plain numpy-ish jax."""
     S, W, H, D = q.shape
-    L = k.shape[1]
-    Hkv = k.shape[2]
+    L, Hkv = k.shape[1], k.shape[2]
     group = H // Hkv
     j = jnp.arange(L)[None, None, :]
     i = jnp.arange(W)[None, :, None]
