@@ -306,8 +306,67 @@ def load_llamagen(
     )
 
 
+def load_anole(
+    ckpt_dir: Optional[str] = None,
+    *,
+    window: int = 16,
+    guidance_scale: float = 7.0,
+    image_top_k: int = 2000,
+    text_top_k: int = 10,
+    scheme: str = "speculative_jacobi",
+    init: str = "random",
+    multimodal_generation_mode: str = "image-only",
+    tokenizer=None,
+) -> LoadedModel:
+    """HF-Chameleon / Anole-7b: fixed 1024-token images after <boi>
+    (scheduler/jacobi_iteration_anhole.py). The VQ decoder shares the
+    Chameleon VQGAN (models/vq CHAMELEON_VQ)."""
+    from sjd_tpu.models import init_params
+    from sjd_tpu.models.anole import BOI_ID, anole_engine
+    from sjd_tpu.models.vq import CHAMELEON_VQ, decode as vq_decode, init_vq_params
+
+    eng = anole_engine(
+        window=window, guidance_scale=guidance_scale, image_top_k=image_top_k,
+        text_top_k=text_top_k, scheme=scheme, init=init,
+    )
+    if ckpt_dir:
+        from sjd_tpu.utils.port import port_hf_llama_like
+
+        params = port_hf_llama_like(_load_sharded_state(ckpt_dir), eng.model_cfg)
+    else:
+        params = jax.jit(lambda k: init_params(k, eng.model_cfg))(
+            jax.random.PRNGKey(0)
+        )
+    vq_cfg = CHAMELEON_VQ
+    vq_params = init_vq_params(jax.random.PRNGKey(1), vq_cfg)
+
+    def sample_fn(prompt: str, rng_seed: int = 42):
+        if tokenizer is not None:
+            ids = list(tokenizer.encode(prompt))
+        else:
+            h = abs(hash(prompt))
+            ids = [(h >> (4 * i)) % 4000 + 9000 for i in range(12)]
+        if multimodal_generation_mode == "image-only":
+            ids = ids + [BOI_ID]
+        res = eng.generate(
+            params, jax.random.PRNGKey(rng_seed), jnp.asarray([ids], jnp.int32)
+        )
+        toks = res.tokens[0, : int(res.length[0])].tolist()
+        start = len(ids)
+        grid = np.asarray(toks[start : start + 1024], np.int32).reshape(32, 32)
+        pixels = vq_decode(vq_params, vq_cfg, jnp.asarray(grid.reshape(1, -1)), (32, 32))
+        return _to_pil(np.asarray(pixels[0]))
+
+    return LoadedModel(
+        name="anole", engine=eng, params=params, sample_fn=sample_fn,
+        extras={"vq_params": vq_params, "vq_cfg": vq_cfg,
+                "multimodal_generation_mode": multimodal_generation_mode},
+    )
+
+
 _REGISTRY = {
     "lumina_mgpt": load_lumina_mgpt,
+    "anole": load_anole,
     "emu3": load_emu3,
     "llamagen": load_llamagen,
 }

@@ -285,9 +285,13 @@ def head_layer_norm(
 
 
 def write_kv(cache: jnp.ndarray, new: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
-    """Scatter a [S, T, H, D] window into a [S, L_buf, H, D] buffer at
-    per-sample row offsets: one contiguous block write per sample. XLA lowers
-    the vmapped dynamic_update_slice to an in-place scatter on TPU."""
+    """Write a [S, T, H, D] window into a [S, L_buf, H, D] buffer at row
+    offsets. A scalar offset (all samples aligned — every B=1 CFG run, or an
+    engine with synchronized batch lengths) lowers to ONE in-place
+    dynamic-update-slice; per-sample offsets need a vmapped DUS that XLA
+    lowers to a scatter, which costs real per-layer overhead on TPU."""
+    if offsets.ndim == 0:
+        return jax.lax.dynamic_update_slice(cache, new, (0, offsets, 0, 0))
 
     def upd(c, n, o):
         return jax.lax.dynamic_update_slice(c, n, (o, 0, 0))
@@ -320,7 +324,7 @@ def _attend(
 
 
 def _decode_masks(
-    cache_end: jnp.ndarray,  # [S]
+    cache_end: jnp.ndarray,  # [S] or scalar
     valid: jnp.ndarray,  # [S, L_buf]
     T: int,
     L_buf: int,
@@ -338,6 +342,8 @@ def _decode_masks(
     """
     j = jnp.arange(L_buf, dtype=jnp.int32)[None, None, :]
     i = jnp.arange(T, dtype=jnp.int32)[None, :, None]
+    if cache_end.ndim == 0:
+        cache_end = jnp.full((valid.shape[0],), cache_end, jnp.int32)
     ce = cache_end[:, None, None]
     causal = j <= ce + i
     ok = valid[:, None, :] | (j >= ce)
@@ -405,12 +411,20 @@ def forward(
                 vq, vscale = _quantize_rows(v)
                 k_all_q = write_kv(k_cache, kq, cache_end)
                 v_all_q = write_kv(v_cache, vq, cache_end)
-                ks_all = jax.vmap(
-                    lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0))
-                )(ks_cache, kscale, cache_end)
-                vs_all = jax.vmap(
-                    lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0))
-                )(vs_cache, vscale, cache_end)
+                if cache_end.ndim == 0:
+                    ks_all = jax.lax.dynamic_update_slice(
+                        ks_cache, kscale, (0, cache_end, 0)
+                    )
+                    vs_all = jax.lax.dynamic_update_slice(
+                        vs_cache, vscale, (0, cache_end, 0)
+                    )
+                else:
+                    ks_all = jax.vmap(
+                        lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0))
+                    )(ks_cache, kscale, cache_end)
+                    vs_all = jax.vmap(
+                        lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0))
+                    )(vs_cache, vscale, cache_end)
                 if cfg.attn_impl == "pallas":
                     from ..ops.decode_attention import decode_attention
 

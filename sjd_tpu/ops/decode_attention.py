@@ -104,6 +104,8 @@ def decode_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     S, W, H, D = q.shape
+    if cache_end.ndim == 0:
+        cache_end = jnp.full((S,), cache_end, jnp.int32)
     L, Hkv = k_cache.shape[1], k_cache.shape[2]
     group = H // Hkv
     quantized = k_cache.dtype == jnp.int8
