@@ -261,7 +261,7 @@ class SJDEngine:
             prompt_s.astype(jnp.int32),
             positions.astype(jnp.int32),
             kv,
-            jnp.int32(0),  # scalar offset: one aligned block write
+            jnp.zeros((S,), jnp.int32),
             valid,
             logits_tail=1,
             **fwd_kwargs,
@@ -360,13 +360,7 @@ class SJDEngine:
 
         # ---- one forward over the window (CFG: doubled batch) ----------------
         x_s = self._tile(win.x)
-        # B == 1: all streams (cond + uncond) share one cache offset -> the
-        # KV write lowers to a single dynamic-update-slice instead of a
-        # scatter (write_kv fast path), saving per-layer overhead.
-        if B == 1:
-            cache_end = st.length[0] - 1
-        else:
-            cache_end = self._tile(st.length - 1)
+        cache_end = self._tile(st.length - 1)
         i = jnp.arange(W, dtype=jnp.int32)[None, :]
         positions = (self._tile(st.length)[:, None] - 1 - st.n_pad[:, None]) + i
         logits, kv = self.model.forward(

@@ -285,13 +285,14 @@ def head_layer_norm(
 
 
 def write_kv(cache: jnp.ndarray, new: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarray:
-    """Write a [S, T, H, D] window into a [S, L_buf, H, D] buffer at row
-    offsets. A scalar offset (all samples aligned — every B=1 CFG run, or an
-    engine with synchronized batch lengths) lowers to ONE in-place
-    dynamic-update-slice; per-sample offsets need a vmapped DUS that XLA
-    lowers to a scatter, which costs real per-layer overhead on TPU."""
+    """Write a [S, T, H, D] window into a [S, L_buf, H, D] buffer at
+    per-sample row offsets via a vmapped dynamic-update-slice (an in-place
+    batched scatter). Measured note (v5e): collapsing aligned offsets to one
+    scalar DUS over the whole batch is ~30%% SLOWER than this scatter
+    (48.5 vs 37.6 ms/step on the 7B CFG decode), so per-sample offsets are
+    used unconditionally."""
     if offsets.ndim == 0:
-        return jax.lax.dynamic_update_slice(cache, new, (0, offsets, 0, 0))
+        offsets = jnp.full((cache.shape[0],), offsets, jnp.int32)
 
     def upd(c, n, o):
         return jax.lax.dynamic_update_slice(c, n, (o, 0, 0))
@@ -411,20 +412,17 @@ def forward(
                 vq, vscale = _quantize_rows(v)
                 k_all_q = write_kv(k_cache, kq, cache_end)
                 v_all_q = write_kv(v_cache, vq, cache_end)
-                if cache_end.ndim == 0:
-                    ks_all = jax.lax.dynamic_update_slice(
-                        ks_cache, kscale, (0, cache_end, 0)
-                    )
-                    vs_all = jax.lax.dynamic_update_slice(
-                        vs_cache, vscale, (0, cache_end, 0)
-                    )
-                else:
-                    ks_all = jax.vmap(
-                        lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0))
-                    )(ks_cache, kscale, cache_end)
-                    vs_all = jax.vmap(
-                        lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0))
-                    )(vs_cache, vscale, cache_end)
+                scale_end = (
+                    jnp.full((kscale.shape[0],), cache_end, jnp.int32)
+                    if cache_end.ndim == 0
+                    else cache_end
+                )
+                ks_all = jax.vmap(
+                    lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0))
+                )(ks_cache, kscale, scale_end)
+                vs_all = jax.vmap(
+                    lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0))
+                )(vs_cache, vscale, scale_end)
                 if cfg.attn_impl == "pallas":
                     from ..ops.decode_attention import decode_attention
 
