@@ -34,6 +34,7 @@ def main():
     )
 
     fast = bool(int(os.environ.get("BENCH_FAST", "0")))
+    init = os.environ.get("BENCH_INIT", "random")  # or "repeat_horizon"
     target = 384 if fast else 768
     grid = target // 16
 
@@ -44,7 +45,7 @@ def main():
         image_top_k=2000,
         text_top_k=10,
         scheme="speculative_jacobi",
-        init="random",
+        init=init,
         kv_quant=True,
     )
     cfg = eng.model_cfg

@@ -111,6 +111,51 @@ def make_inception_extractor():
     return extract
 
 
+def make_clip_extractor(model_dir: str):
+    """CLIP image/text embedding fns for CLIPScore (the torchmetrics
+    CLIPScore path of evaluation_metrics.py:219-271), via transformers from a
+    local checkpoint directory."""
+    from transformers import CLIPModel, CLIPProcessor
+    import torch
+
+    model = CLIPModel.from_pretrained(model_dir).eval()
+    proc = CLIPProcessor.from_pretrained(model_dir)
+
+    def image_embeds(images: np.ndarray, batch: int = 32) -> np.ndarray:
+        out = []
+        with torch.no_grad():
+            for i in range(0, len(images), batch):
+                inputs = proc(
+                    images=[(im * 255).astype(np.uint8) for im in images[i : i + batch]],
+                    return_tensors="pt",
+                )
+                out.append(model.get_image_features(**inputs).numpy())
+        return np.concatenate(out)
+
+    def text_embeds(texts, batch: int = 64) -> np.ndarray:
+        out = []
+        with torch.no_grad():
+            for i in range(0, len(texts), batch):
+                inputs = proc(
+                    text=list(texts[i : i + batch]),
+                    return_tensors="pt",
+                    padding=True,
+                    truncation=True,
+                )
+                out.append(model.get_text_features(**inputs).numpy())
+        return np.concatenate(out)
+
+    return image_embeds, text_embeds
+
+
+def evaluate_clip_score(generated_dir: str, prompts, model_dir: str) -> float:
+    """CLIPScore over a generated dir + matched prompts
+    (evaluate_quantitative_scores_text2img, evaluation_metrics.py:219-271)."""
+    image_embeds, text_embeds = make_clip_extractor(model_dir)
+    imgs = load_image_dir(generated_dir, size=224)
+    return clip_score(image_embeds(imgs), text_embeds(list(prompts)))
+
+
 def evaluate_quantitative_scores(
     generated_dir: str,
     reference_dir: Optional[str] = None,
