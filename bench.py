@@ -53,6 +53,15 @@ def main():
     params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
+    quant = bool(int(os.environ.get("BENCH_QUANT", "0")))
+    if quant:
+        # W8A8 serving mode: per-channel int8 weights + dynamic per-token
+        # int8 activations on the MXU (models/transformer.py:quantize_weights)
+        from sjd_tpu.models.transformer import quantize_weights
+
+        params = quantize_weights(params)
+        jax.block_until_ready(params)
+
     # synthetic T2I prompt: 50 text tokens then <image_start> <h> <w>
     size_tok = SIZE_TOKEN_BASE + grid // 2
     prompt_list = list(range(9000, 9050)) + [IMAGE_START_ID, size_tok, size_tok]
@@ -77,7 +86,13 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"Lumina-mGPT-7B {target}px SJD end-to-end latency (1 image, CFG, window 16)",
+                "metric": (
+                    f"Lumina-mGPT-7B {target}px SJD end-to-end latency "
+                    f"(1 image, CFG, window 16"
+                    + (", int8 W8A8" if quant else "")
+                    + (f", init={init}" if init != "random" else "")
+                    + ")"
+                ),
                 "value": round(latency, 2),
                 "unit": "s",
                 "vs_baseline": round(BASELINE_LATENCY_S / latency, 3),

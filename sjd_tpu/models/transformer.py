@@ -254,12 +254,55 @@ def init_params(rng: jax.Array, cfg: DecoderConfig) -> PyTree:
 # ---------------------------------------------------------------------------
 
 
-def linear(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """x [..., in] @ w [out, in] -> [..., out] (torch weight layout)."""
+def linear(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x [..., in] @ w [out, in] -> [..., out] (torch weight layout).
+
+    ``w`` may be a quantized dict {"q": int8 [out, in], "s": f32 [out]}
+    (see quantize_weights): activations are dynamically quantized per token
+    (symmetric int8) and the product runs int8 x int8 -> int32 on the MXU —
+    W8A8 serving mode, halving weight HBM reads vs bf16.
+    """
+    if isinstance(w, dict):
+        xf = x.astype(jnp.float32)
+        xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-8)
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, w["q"], dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * xs * w["s"].astype(jnp.float32)
+        return y.astype(x.dtype)
     return jax.lax.dot_general(
         x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
         preferred_element_type=x.dtype,
     )
+
+
+def quantize_weights(params: PyTree, *, quantize_head: bool = True) -> PyTree:
+    """Per-output-channel symmetric int8 quantization of every projection
+    weight in a decoder pytree (weights already in [layer, out, in] layout).
+    Norm scales, qk-norm affines, and the embedding table stay bf16."""
+    big = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
+
+    def quant(w: jnp.ndarray) -> dict:
+        wf = w.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(wf), axis=-1) / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(wf / s[..., None]), -127, 127).astype(jnp.int8)
+        return {"q": q, "s": s.astype(jnp.bfloat16)}
+
+    # quantize leaf-by-leaf with donation so the bf16 original frees as soon
+    # as its int8 replacement exists (peak = params + one leaf, not 1.5x)
+    quant_jit = jax.jit(quant, donate_argnums=(0,))
+
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in list(layers.keys()):
+        if k in big:
+            layers[k] = quant_jit(layers[k])
+    out["layers"] = layers
+    if quantize_head and "lm_head" in params:
+        out["lm_head"] = quant_jit(params["lm_head"])
+    return out
 
 
 def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -489,9 +532,7 @@ def forward(
             "std,vd->stv", h, params["embed"], preferred_element_type=jnp.float32
         )
     else:
-        logits = jnp.einsum(
-            "std,vd->stv", h, params["lm_head"], preferred_element_type=jnp.float32
-        )
+        logits = linear(h, params["lm_head"])
     return ForwardResult(logits=logits.astype(jnp.float32), kv=new_kv)
 
 
@@ -560,6 +601,4 @@ def forward_train(
         return jnp.einsum(
             "btd,vd->btv", h, params["embed"], preferred_element_type=jnp.float32
         ).astype(jnp.float32)
-    return jnp.einsum(
-        "btd,vd->btv", h, params["lm_head"], preferred_element_type=jnp.float32
-    ).astype(jnp.float32)
+    return linear(h, params["lm_head"]).astype(jnp.float32)

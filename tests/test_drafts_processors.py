@@ -1,0 +1,112 @@
+"""Draft-window construction and processor pipeline unit tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sjd_tpu.core import GrammarSpec, SamplingParams
+from sjd_tpu.core.drafts import build_window
+from sjd_tpu.core.grammar import GrammarState
+from sjd_tpu.core.processors import cfg_mix, process_window_logits
+from sjd_tpu.core.sampling import top_k_dual, top_p
+
+V = 64
+SPEC = GrammarSpec(kind="none", image_vocab_start=4, image_vocab_end=47)
+
+
+def _gstate(B, in_image=True, w=4, count=0):
+    return GrammarState(
+        in_image=jnp.full((B,), in_image),
+        size_known=jnp.full((B,), True),
+        h_lat=jnp.full((B,), 4, jnp.int32),
+        w_lat=jnp.full((B,), w, jnp.int32),
+        img_count=jnp.full((B,), count, jnp.int32),
+        header_seen=jnp.full((B,), 2, jnp.int32),
+    )
+
+
+def _window_args(B=1, W=6, length=10):
+    tokens = jnp.tile(jnp.arange(64, dtype=jnp.int32)[None, :], (B, 1))[:, :32]
+    return dict(
+        spec=SPEC,
+        gstate=_gstate(B),
+        tokens=tokens,
+        length=jnp.full((B,), length, jnp.int32),
+        last_prob=jnp.full((B, V), 1.0 / V),
+        carried_tokens=jnp.zeros((B, W), jnp.int32),
+        carried_probs=jnp.zeros((B, W, V)),
+        carried_count=jnp.zeros((B,), jnp.int32),
+        window=W,
+        vocab_size=V,
+    )
+
+
+def test_window_slot0_is_last_committed():
+    args = _window_args(length=10)
+    win = build_window(jax.random.PRNGKey(0), scheme="random", **args)
+    assert int(win.x[0, 0]) == 9  # tokens[length-1]
+    # fresh drafts are in the image vocab with one-hot draft dists
+    drafts = np.asarray(win.x[0, 1:])
+    assert drafts.min() >= 4 and drafts.max() <= 47
+    probs = np.asarray(win.p_draft[0, 1:])
+    np.testing.assert_allclose(probs.sum(-1), 1.0)
+    assert (probs.max(-1) == 1.0).all()  # one-hot (reference :502-514)
+
+
+def test_window_carried_tokens_come_first():
+    args = _window_args(W=6)
+    carried = jnp.asarray([[11, 12, 13, 0, 0, 0]], jnp.int32)
+    cprobs = jax.nn.one_hot(carried, V)
+    args.update(carried_tokens=carried, carried_probs=cprobs,
+                carried_count=jnp.asarray([3], jnp.int32))
+    win = build_window(jax.random.PRNGKey(0), scheme="random", **args)
+    np.testing.assert_array_equal(np.asarray(win.x[0, 1:4]), [11, 12, 13])
+
+
+def test_repeat_horizon_copies_previous_token():
+    """Fresh slots at grid column >= 1 copy the most recent available token
+    (get_multi_token_for_preparation horizon path, :531-594)."""
+    args = _window_args(W=6, length=10)
+    # img_count=0 -> slot offsets o=0..4, w=4 -> col = (o+1)%5 -> slot with
+    # col 0 is offset 4 (the eol position), others copy
+    win = build_window(jax.random.PRNGKey(0), scheme="repeat_horizon", **args)
+    x = np.asarray(win.x[0])
+    # last committed token is 9, which is in image vocab -> copied forward
+    assert (x[1:5] == 9).sum() >= 3
+
+
+def test_cfg_mix_and_force_no_cfg():
+    B, W = 2, 3
+    cond = jnp.ones((B, W, V)) * 2.0
+    uncond = jnp.ones((B, W, V)) * 1.0
+    logits = jnp.concatenate([cond, uncond], axis=0)
+    out = cfg_mix(logits, 3.0, jnp.asarray([False, True]))
+    np.testing.assert_allclose(np.asarray(out[0]), 3.0 * (2 - 1) + 1)  # guided
+    np.testing.assert_allclose(np.asarray(out[1]), 2.0)  # cond only
+
+
+def test_top_k_dual_switches_on_image_mode():
+    rs = np.random.RandomState(0)
+    scores = jnp.asarray(rs.randn(2, 1, V).astype(np.float32))
+    out = top_k_dual(scores, jnp.asarray([True, False]), image_top_k=32, text_top_k=4)
+    kept = np.asarray(out > -1e30).sum(axis=-1)
+    assert kept[0, 0] == 32 and kept[1, 0] == 4
+
+
+def test_top_p_keeps_nucleus():
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    out = np.asarray(top_p(logits, 0.8))
+    assert np.isfinite(out[0, :2]).all()  # 0.5+0.3 = 0.8 kept
+    assert out[0, 3] < -1e30  # tail dropped
+
+
+def test_process_window_logits_normalizes():
+    B, W = 1, 4
+    logits = jnp.asarray(np.random.RandomState(1).randn(2 * B, W, V), jnp.float32)
+    p = process_window_logits(
+        logits, SPEC, _gstate(B), SamplingParams(do_cfg=True, guidance_scale=2.0,
+                                                 image_top_k=16, text_top_k=16),
+        force_no_cfg=jnp.asarray([False]),
+    )
+    assert p.shape == (B, W, V)
+    np.testing.assert_allclose(np.asarray(p).sum(-1), 1.0, rtol=1e-5)
