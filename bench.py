@@ -13,6 +13,12 @@ weight-independent.
 
 Baseline: A100 + PyTorch SJD = 47.13 s / 1115 forwards (BASELINE.md).
 Prints one JSON line; vs_baseline > 1 means faster than the reference.
+
+Default config: W8A8 int8 serving (per-channel weights, dynamic per-token
+activations — halves weight HBM reads; 36.2 s = 1.30x the A100 reference) +
+spatial draft init. BENCH_QUANT=0 BENCH_INIT=random reproduces the bf16
+configuration whose numerics match the reference exactly (47.06 s = 1.00x).
+With real checkpoints, validate W8A8 quality (FID) before production use.
 """
 
 import json
@@ -34,7 +40,10 @@ def main():
     )
 
     fast = bool(int(os.environ.get("BENCH_FAST", "0")))
-    init = os.environ.get("BENCH_INIT", "random")  # or "repeat_horizon"
+    # defaults = the fastest configuration (mirrors the reference's best row,
+    # SJD + spatial init); BENCH_QUANT=0 reproduces the bf16 parity run
+    # (47.06 s) with bit-identical-to-reference numerics.
+    init = os.environ.get("BENCH_INIT", "repeat_horizon")
     target = 384 if fast else 768
     grid = target // 16
 
@@ -50,17 +59,19 @@ def main():
     )
     cfg = eng.model_cfg
 
-    params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-
-    quant = bool(int(os.environ.get("BENCH_QUANT", "0")))
+    quant = bool(int(os.environ.get("BENCH_QUANT", "1")))
     if quant:
         # W8A8 serving mode: per-channel int8 weights + dynamic per-token
-        # int8 activations on the MXU (models/transformer.py:quantize_weights)
+        # int8 activations on the MXU. Fused with init so bf16 and int8
+        # copies never coexist in HBM.
         from sjd_tpu.models.transformer import quantize_weights
 
-        params = quantize_weights(params)
-        jax.block_until_ready(params)
+        params = jax.jit(lambda k: quantize_weights(init_params(k, cfg)))(
+            jax.random.PRNGKey(0)
+        )
+    else:
+        params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
 
     # synthetic T2I prompt: 50 text tokens then <image_start> <h> <w>
     size_tok = SIZE_TOKEN_BASE + grid // 2

@@ -281,7 +281,13 @@ def linear(x: jnp.ndarray, w) -> jnp.ndarray:
 def quantize_weights(params: PyTree, *, quantize_head: bool = True) -> PyTree:
     """Per-output-channel symmetric int8 quantization of every projection
     weight in a decoder pytree (weights already in [layer, out, in] layout).
-    Norm scales, qk-norm affines, and the embedding table stay bf16."""
+    Norm scales, qk-norm affines, and the embedding table stay bf16.
+
+    Pure/traceable: for big models, run it fused with the weight producer
+    (e.g. ``jax.jit(lambda k: quantize_weights(init_params(k, cfg)))`` or on
+    host-side numpy arrays from checkpoint porting) so bf16 and int8 copies
+    never coexist in HBM — 7B bf16 + int8 together exceed a v5e chip.
+    """
     big = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
 
     def quant(w: jnp.ndarray) -> dict:
@@ -290,18 +296,12 @@ def quantize_weights(params: PyTree, *, quantize_head: bool = True) -> PyTree:
         q = jnp.clip(jnp.round(wf / s[..., None]), -127, 127).astype(jnp.int8)
         return {"q": q, "s": s.astype(jnp.bfloat16)}
 
-    # quantize leaf-by-leaf with donation so the bf16 original frees as soon
-    # as its int8 replacement exists (peak = params + one leaf, not 1.5x)
-    quant_jit = jax.jit(quant, donate_argnums=(0,))
-
     out = dict(params)
-    layers = dict(params["layers"])
-    for k in list(layers.keys()):
-        if k in big:
-            layers[k] = quant_jit(layers[k])
-    out["layers"] = layers
+    out["layers"] = {
+        k: (quant(v) if k in big else v) for k, v in params["layers"].items()
+    }
     if quantize_head and "lm_head" in params:
-        out["lm_head"] = quant_jit(params["lm_head"])
+        out["lm_head"] = quant(params["lm_head"])
     return out
 
 
