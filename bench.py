@@ -44,12 +44,13 @@ def main():
     # SJD + spatial init); BENCH_QUANT=0 reproduces the bf16 parity run
     # (47.06 s) with bit-identical-to-reference numerics.
     init = os.environ.get("BENCH_INIT", "repeat_horizon")
+    window = int(os.environ.get("BENCH_WINDOW", "16"))
     target = 384 if fast else 768
     grid = target // 16
 
     eng = lumina_engine(
         target_size=target,
-        window=16,
+        window=window,
         guidance_scale=3.0,
         image_top_k=2000,
         text_top_k=10,
@@ -99,7 +100,7 @@ def main():
             {
                 "metric": (
                     f"Lumina-mGPT-7B {target}px SJD end-to-end latency "
-                    f"(1 image, CFG, window 16"
+                    f"(1 image, CFG, window {window}"
                     + (", int8 W8A8" if quant else "")
                     + (f", init={init}" if init != "random" else "")
                     + ")"

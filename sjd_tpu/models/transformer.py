@@ -367,6 +367,37 @@ def _attend(
     return out.reshape(S, T, H, D).astype(q.dtype)
 
 
+def _attend_quantized(
+    q: jnp.ndarray,  # [S, T, H, D]
+    k_q: jnp.ndarray,  # [S, L, Hkv, D] int8
+    v_q: jnp.ndarray,  # [S, L, Hkv, D] int8
+    k_s: jnp.ndarray,  # [S, L, Hkv] bf16
+    v_s: jnp.ndarray,  # [S, L, Hkv] bf16
+    mask: jnp.ndarray,  # [S, T, L] bool
+) -> jnp.ndarray:
+    """Attention directly over the int8 cache: the per-row scales factor out
+    of both dots (scores = (q . k_int8) * s_k[j]; out = (p * s_v[j]) . v_int8),
+    so the dequantized [S, L, H, D] tensors are never materialized in HBM —
+    the int8 -> bf16 convert fuses into the MXU operand read."""
+    S, T, H, D = q.shape
+    Hkv = k_q.shape[2]
+    group = H // Hkv
+    qg = q.reshape(S, T, Hkv, group, D)
+    scores = jnp.einsum(
+        "sthgd,slhd->shgtl", qg, k_q.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    ) * (k_s.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, None, :] / math.sqrt(D))
+    neg = jnp.finfo(jnp.float32).min
+    scores = jnp.where(mask[:, None, None, :, :], scores, neg)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs_scaled = probs * v_s.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, None, :]
+    out = jnp.einsum(
+        "shgtl,slhd->sthgd", probs_scaled.astype(q.dtype), v_q.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(S, T, H, D).astype(q.dtype)
+
+
 def _decode_masks(
     cache_end: jnp.ndarray,  # [S] or scalar
     valid: jnp.ndarray,  # [S, L_buf]
@@ -474,14 +505,9 @@ def forward(
                         cache_end, valid, window=T,
                     )
                 else:
-                    # dequant fuses into the attention dots
-                    k_all = k_all_q.astype(cfg.dtype) * ks_all[..., None].astype(
-                        cfg.dtype
+                    out = _attend_quantized(
+                        q, k_all_q, v_all_q, ks_all, vs_all, mask
                     )
-                    v_all = v_all_q.astype(cfg.dtype) * vs_all[..., None].astype(
-                        cfg.dtype
-                    )
-                    out = _attend(q, k_all, v_all, mask)
                 caches = (k_all_q, v_all_q, ks_all, vs_all)
             else:
                 k_all = write_kv(k_cache, k, cache_end)
