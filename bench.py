@@ -26,9 +26,70 @@ import os
 import time
 
 BASELINE_LATENCY_S = 47.13  # A100 SJD, "golden-haired lion" row (BASELINE.md)
+EMU3_BASELINE_S = 512.6  # A100 SJD end-to-end generate (test_emu3.py:177)
+
+
+def bench_emu3():
+    """Secondary benchmark: Emu3-Gen 8B 720p (90x90 grid, ~8.2k tokens).
+    The 8B model only fits a single 16GB chip in W8A8; CFG uses the padded
+    negative-prompt mode. BENCH_MODEL=emu3 selects this path."""
+    import jax
+    import jax.numpy as jnp
+
+    from sjd_tpu.data.emu3_processor import build_gen_prompt
+    from sjd_tpu.models import init_params
+    from sjd_tpu.models.emu3 import emu3_engine, emu3_grammar_state
+    from sjd_tpu.models.transformer import quantize_weights
+
+    h = w = int(os.environ.get("BENCH_EMU3_GRID", "90"))
+    eng = emu3_engine(h=h, w=w, window=16, guidance_scale=3.0, image_top_k=2048)
+    cfg = eng.model_cfg
+    params = jax.jit(lambda k: quantize_weights(init_params(k, cfg)))(
+        jax.random.PRNGKey(0)
+    )
+    jax.block_until_ready(params)
+
+    ids = build_gen_prompt(list(range(2000, 2024)), h, w, lambda s: [1500, 1501])
+    prompt = jnp.asarray([ids], jnp.int32)
+    neg = jnp.asarray([ids[:4]], jnp.int32)
+
+    def run(seed):
+        res = eng.generate(
+            params, jax.random.PRNGKey(seed), prompt, neg_prompt=neg,
+            gstate=emu3_grammar_state(1, h, w),
+        )
+        jax.block_until_ready(res.tokens)
+        return res
+
+    t0 = time.time()
+    res = run(0)
+    compile_and_run = time.time() - t0
+    t0 = time.time()
+    res = run(1)
+    latency = time.time() - t0
+    nfe, gen = int(res.nfe), int(res.gen_count[0])
+    print(
+        json.dumps(
+            {
+                "metric": f"Emu3-Gen 8B {h}x{w} (720p) SJD end-to-end latency (CFG, window 16, int8 W8A8)",
+                "value": round(latency, 2),
+                "unit": "s",
+                "vs_baseline": round(EMU3_BASELINE_S / latency, 3),
+                "nfe": nfe,
+                "tokens_generated": gen,
+                "step_reduction_vs_ar": round(gen / max(nfe, 1), 3),
+                "ms_per_forward": round(1000 * latency / max(nfe, 1), 1),
+                "compile_s": round(compile_and_run - latency, 1),
+                "baseline": f"A100+PyTorch SJD {EMU3_BASELINE_S}s (BASELINE.md)",
+            }
+        )
+    )
 
 
 def main():
+    if os.environ.get("BENCH_MODEL", "lumina") == "emu3":
+        bench_emu3()
+        return
     import jax
     import jax.numpy as jnp
 
@@ -45,6 +106,7 @@ def main():
     # (47.06 s) with bit-identical-to-reference numerics.
     init = os.environ.get("BENCH_INIT", "repeat_horizon")
     window = int(os.environ.get("BENCH_WINDOW", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     target = 384 if fast else 768
     grid = target // 16
 
@@ -74,10 +136,17 @@ def main():
         params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
-    # synthetic T2I prompt: 50 text tokens then <image_start> <h> <w>
+    # synthetic T2I prompts: 50 text tokens then <image_start> <h> <w>.
+    # batch > 1 exercises per-sample divergent acceptance lengths (the
+    # reference is B=1-only); throughput scales because the weights read is
+    # amortized across the batch.
     size_tok = SIZE_TOKEN_BASE + grid // 2
-    prompt_list = list(range(9000, 9050)) + [IMAGE_START_ID, size_tok, size_tok]
-    prompt = jnp.asarray([prompt_list], jnp.int32)
+    prompts = [
+        list(range(9000 + 7 * b, 9050 + 7 * b))
+        + [IMAGE_START_ID, size_tok, size_tok]
+        for b in range(batch)
+    ]
+    prompt = jnp.asarray(prompts, jnp.int32)
 
     def run(seed):
         res = eng.generate(params, jax.random.PRNGKey(seed), prompt)
@@ -100,7 +169,7 @@ def main():
             {
                 "metric": (
                     f"Lumina-mGPT-7B {target}px SJD end-to-end latency "
-                    f"(1 image, CFG, window {window}"
+                    f"({batch} image{'s' if batch > 1 else ''}, CFG, window {window}"
                     + (", int8 W8A8" if quant else "")
                     + (f", init={init}" if init != "random" else "")
                     + ")"
@@ -110,6 +179,8 @@ def main():
                 "vs_baseline": round(BASELINE_LATENCY_S / latency, 3),
                 "nfe": nfe,
                 "tokens_generated": gen,
+                "batch": batch,
+                "images_per_min": round(60.0 * batch / latency, 2),
                 "step_reduction_vs_ar": round(ar_steps / max(nfe, 1), 3),
                 "ms_per_forward": round(1000 * latency / max(nfe, 1), 1),
                 "compile_s": round(compile_and_run - latency, 1),

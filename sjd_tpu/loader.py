@@ -48,13 +48,6 @@ def _to_pil(pixels: np.ndarray):
     return Image.fromarray(arr)
 
 
-def _load_hf_state(ckpt_dir: str) -> dict:
-    """Read all safetensors/bin shards in an HF checkpoint dir."""
-    from ..utils.port import load_torch_checkpoint  # type: ignore
-
-    raise NotImplementedError
-
-
 def _load_sharded_state(ckpt_dir: str) -> dict:
     from sjd_tpu.utils.port import load_torch_checkpoint
 
