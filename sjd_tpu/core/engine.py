@@ -99,6 +99,7 @@ class EngineState(NamedTuple):
     nfe: jnp.ndarray  # scalar int32 — model forwards (the reference's NFE)
     steps_multi: jnp.ndarray  # scalar int32 — forwards with window > 1
     prompt_len: jnp.ndarray  # [B] real (unpadded) prompt length
+    prompt_rows: jnp.ndarray  # scalar int32 — padded prompt rows in `tokens`
 
 
 class GenerateResult(NamedTuple):
@@ -125,7 +126,8 @@ class SJDEngine:
         self.sampling = sampling_params
         do_cfg = sampling_params.do_cfg and config.cfg_mode != "none"
         self.sampling = dataclasses.replace(sampling_params, do_cfg=do_cfg)
-        self._generate = jax.jit(self._generate_impl)
+        self._generate = jax.jit(self._generate_impl, static_argnums=(9,))
+        self._continue = jax.jit(self._continue_impl, static_argnums=(2,))
 
     # -- public API -----------------------------------------------------------
 
@@ -140,9 +142,16 @@ class SJDEngine:
         gstate: Optional[grammar_lib.GrammarState] = None,
         prompt_embeds: Optional[jnp.ndarray] = None,  # [B, P, D] conditioning
         neg_prompt_embeds: Optional[jnp.ndarray] = None,  # [B, P, D]
-    ) -> GenerateResult:
+        max_steps: Optional[int] = None,
+        return_state: bool = False,
+    ):
         """Generate from a token prompt or (LlamaGen-style) an embedding
-        prompt — the conditioning prefix of llamagen/llamagen.py:383-391."""
+        prompt — the conditioning prefix of llamagen/llamagen.py:383-391.
+
+        ``max_steps`` bounds the number of forwards in THIS call; combined
+        with ``return_state`` + :meth:`resume` it chunks one generation
+        across multiple device dispatches (streaming/serving, or backends
+        with a per-execution time cap)."""
         if prompt_embeds is not None:
             B, P = prompt_embeds.shape[:2]
             prompt = jnp.zeros((B, P), jnp.int32) if prompt is None else prompt
@@ -171,9 +180,33 @@ class SJDEngine:
             neg_prompt_embeds = jnp.zeros((B, 0, 0), jnp.float32)
         elif neg_prompt_embeds is None:
             neg_prompt_embeds = jnp.zeros_like(prompt_embeds)
-        return self._generate(
+        cap = self.config.resolved_nfe_cap() if max_steps is None else max_steps
+        state = self._generate(
             params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate,
-            prompt_embeds, neg_prompt_embeds,
+            prompt_embeds, neg_prompt_embeds, cap,
+        )
+        result = self._result_from_state(state)
+        return (result, state) if return_state else result
+
+    def resume(self, params: PyTree, state: EngineState,
+               max_steps: Optional[int] = None, return_state: bool = False):
+        """Continue a generation returned with return_state=True for up to
+        ``max_steps`` more forwards."""
+        cap = int(state.nfe) + (
+            max_steps if max_steps is not None else self.config.resolved_nfe_cap()
+        )
+        cap = min(cap, self.config.resolved_nfe_cap() * 4)
+        state = self._continue(params, state, cap)
+        result = self._result_from_state(state)
+        return (result, state) if return_state else result
+
+    def _result_from_state(self, state: EngineState) -> GenerateResult:
+        return GenerateResult(
+            tokens=state.tokens,
+            length=state.length,
+            nfe=state.nfe,
+            steps_multi=state.steps_multi,
+            gen_count=state.length - state.prompt_rows,
         )
 
     # -- implementation --------------------------------------------------------
@@ -188,10 +221,16 @@ class SJDEngine:
             return x
         return jnp.concatenate([x, x], axis=0)
 
+    def _continue_impl(self, params, state: EngineState, nfe_cap: int) -> EngineState:
+        def cond(st: EngineState):
+            return (~jnp.all(st.finished)) & (st.nfe < nfe_cap)
+
+        return jax.lax.while_loop(cond, lambda st: self._step(params, st), state)
+
     def _generate_impl(
         self, params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate0,
-        prompt_embeds, neg_prompt_embeds,
-    ) -> GenerateResult:
+        prompt_embeds, neg_prompt_embeds, nfe_cap,
+    ) -> EngineState:
         use_embeds = prompt_embeds.ndim == 3 and prompt_embeds.shape[1] > 0
         cfg = self.config
         B, P = prompt.shape
@@ -302,26 +341,11 @@ class SJDEngine:
             nfe=jnp.int32(1),
             steps_multi=jnp.int32(0),
             prompt_len=prompt_len_real.astype(jnp.int32),
+            prompt_rows=jnp.int32(P),
         )
 
         # ---- decode loop -----------------------------------------------------
-        nfe_cap = cfg.resolved_nfe_cap()
-
-        def cond(st: EngineState):
-            return (~jnp.all(st.finished)) & (st.nfe < nfe_cap)
-
-        state = jax.lax.while_loop(
-            cond, lambda s: self._step(params, s), state
-        )
-
-        gen_count = state.length - P
-        return GenerateResult(
-            tokens=state.tokens,
-            length=state.length,
-            nfe=state.nfe,
-            steps_multi=state.steps_multi,
-            gen_count=gen_count,
-        )
+        return self._continue_impl(params, state, nfe_cap)
 
     def _step(self, params: PyTree, st: EngineState) -> EngineState:
         cfg = self.config
@@ -442,4 +466,5 @@ class SJDEngine:
             nfe=st.nfe + 1,
             steps_multi=st.steps_multi + jnp.any(active_w > 1).astype(jnp.int32),
             prompt_len=st.prompt_len,
+            prompt_rows=st.prompt_rows,
         )
