@@ -202,7 +202,12 @@ def apply_grammar(
     i = jnp.arange(W, dtype=jnp.int32)[None, :]
     o = state.img_count[:, None] + i  # [B, W]
     w1 = state.w_lat[:, None] + 1  # row stride incl. <eol>
-    active = (state.in_image & state.size_known)[:, None]  # [B, W] broadcast
+    if spec.kind == "anole":
+        # anole images have a fixed length; there are no grid-size tokens to
+        # wait for (jacobi_iteration_anhole.py grammar is armed by <boi> alone)
+        active = state.in_image[:, None]
+    else:
+        active = (state.in_image & state.size_known)[:, None]  # [B, W]
 
     if spec.kind == "lumina":
         # suppress everything outside the image vocab, then force <eol> at

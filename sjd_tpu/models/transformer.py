@@ -407,13 +407,15 @@ def _decode_masks(
     """Attention mask for a draft window appended at cache_end.
 
     Query (window slot) i may attend key row j iff
-      j <= cache_end + i                (prefix + causal within the window)
-      and (valid[j] or j >= cache_end)  (CFG prompt masking applies only to
-                                         the cached prefix; window rows and
-                                         committed tokens are always valid)
+      j <= cache_end + i    (prefix + causal within the window)
+      and valid[j]          (CFG/padding prompt masking; rows past the prompt
+                             are initialized valid, so committed tokens and
+                             window rows always pass)
     This reproduces the reference's grown rectangular mask with a tril block
     on the new-token diagonal (jacobi_iteration_lumina_mgpt.py:816-846) as a
-    pure function of (cache_end, valid) with static shapes.
+    pure function of (cache_end, valid) with static shapes. NOTE: the mask
+    must NOT whitelist rows >= cache_end unconditionally — during prefill
+    cache_end is 0 and that would bypass left-padding masks entirely.
     """
     j = jnp.arange(L_buf, dtype=jnp.int32)[None, None, :]
     i = jnp.arange(T, dtype=jnp.int32)[None, :, None]
@@ -421,8 +423,7 @@ def _decode_masks(
         cache_end = jnp.full((valid.shape[0],), cache_end, jnp.int32)
     ce = cache_end[:, None, None]
     causal = j <= ce + i
-    ok = valid[:, None, :] | (j >= ce)
-    return causal & ok
+    return causal & valid[:, None, :]
 
 
 class ForwardResult(NamedTuple):

@@ -68,13 +68,12 @@ def _decode_attn_kernel(
     ) * (1.0 / math.sqrt(D))  # [GW, L]
 
     # rows are laid out [window, group]: query row r belongs to window slot
-    # r // group. allowed(j) = j <= cache_end + w_idx  and
-    # (valid[j] or j >= cache_end)
+    # r // group. allowed(j) = j <= cache_end + w_idx and valid[j]
     row = jax.lax.broadcasted_iota(jnp.int32, (GW, L), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (GW, L), 1)
     w_idx = row // group
     causal = col <= cache_end + w_idx
-    ok = (valid_ref[0, 0, :].astype(jnp.int32)[None, :] > 0) | (col >= cache_end)
+    ok = valid_ref[0, 0, :].astype(jnp.int32)[None, :] > 0
     scores = jnp.where(causal & ok, scores, NEG_INF)
 
     m = jnp.max(scores, axis=-1, keepdims=True)

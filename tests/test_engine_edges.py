@@ -1,0 +1,77 @@
+"""Edge-path engine tests: left-padded prompts, anole fixed-length images,
+sample_horizon drafts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sjd_tpu.core import EngineConfig, GrammarSpec, SamplingParams, SJDEngine
+from sjd_tpu.models import decoder_model_fns
+
+from helpers import TINY, make_engine, tiny_params
+
+
+def test_left_padded_prompt_matches_unpadded():
+    """Per-sample valid masks + position ids must make left padding
+    transparent (the reference left-pads Emu3 CFG batches)."""
+    params = tiny_params()
+    eng = make_engine(
+        window=4, scheme="jacobi", max_len=24,
+        sampling=SamplingParams(do_cfg=False, greedy=True,
+                                image_top_k=64, text_top_k=64),
+    )
+    plain = eng.generate(params, jax.random.PRNGKey(0),
+                         jnp.asarray([[5, 6, 7]], jnp.int32))
+
+    padded = jnp.asarray([[0, 0, 5, 6, 7]], jnp.int32)
+    mask = jnp.asarray([[False, False, True, True, True]])
+    res = eng.generate(params, jax.random.PRNGKey(0), padded, prompt_mask=mask)
+
+    np.testing.assert_array_equal(
+        np.asarray(res.tokens[0, 5 : int(res.length[0])]),
+        np.asarray(plain.tokens[0, 3 : int(plain.length[0])]),
+    )
+    assert int(res.nfe) == int(plain.nfe)
+
+
+def test_anole_fixed_length_image():
+    """Anole grammar: exactly image_seq_length image tokens after <boi>,
+    then a forced <eoi> (jacobi_iteration_anhole.py behavior)."""
+    spec = GrammarSpec(
+        kind="anole", image_start_id=48, image_end_id=49,
+        image_vocab_start=4, image_vocab_end=47, image_seq_length=12,
+    )
+    model = decoder_model_fns(TINY, max_positions=512)
+    eng = SJDEngine(
+        model,
+        EngineConfig(window=5, max_len=40, eos_id=63, cfg_mode="none"),
+        spec,
+        SamplingParams(do_cfg=False, image_top_k=40, text_top_k=10),
+    )
+    params = tiny_params()
+    prompt = jnp.asarray([[1, 2, 48]], jnp.int32)  # ends with <boi>
+    res = eng.generate(params, jax.random.PRNGKey(3), prompt)
+    seq = res.tokens[0, 3:3 + 13].tolist()
+    assert all(4 <= t <= 47 for t in seq[:12]), seq
+    assert seq[12] == 49, seq
+
+
+def test_sample_horizon_runs_and_respects_grammar():
+    from sjd_tpu.core.grammar import GrammarSpec as GS
+
+    spec = GS(kind="lumina", image_start_id=48, image_end_id=49,
+              newline_id=50, image_vocab_start=4, image_vocab_end=47,
+              size_token_base=52, grid_scale=2)
+    model = decoder_model_fns(TINY, max_positions=512)
+    eng = SJDEngine(
+        model,
+        EngineConfig(window=6, init="sample_horizon", max_len=60, eos_id=63),
+        spec,
+        SamplingParams(do_cfg=False, image_top_k=40, text_top_k=10),
+    )
+    params = tiny_params()
+    prompt = jnp.asarray([[1, 2, 48, 54, 54]], jnp.int32)  # h=w=4
+    res = eng.generate(params, jax.random.PRNGKey(5), prompt)
+    seq = res.tokens[0, 5:5 + 21].tolist()
+    assert all(seq[i] == 50 for i in (4, 9, 14, 19)), seq  # eol forced
+    assert seq[20] == 49  # eoi at grid end

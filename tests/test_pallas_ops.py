@@ -17,7 +17,7 @@ def _reference_attn(q, k, v, cache_end, valid, window):
     j = jnp.arange(L)[None, None, :]
     i = jnp.arange(W)[None, :, None]
     ce = cache_end[:, None, None]
-    mask = (j <= ce + i) & (valid[:, None, :] | (j >= ce))
+    mask = (j <= ce + i) & valid[:, None, :]
     qg = q.reshape(S, W, Hkv, group, D)
     scores = jnp.einsum("swhgd,slhd->shgwl", qg.astype(jnp.float32),
                         k.astype(jnp.float32)) / math.sqrt(D)
