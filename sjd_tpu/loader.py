@@ -48,6 +48,27 @@ def _to_pil(pixels: np.ndarray):
     return Image.fromarray(arr)
 
 
+def _build_decoder_params(model_cfg, ckpt_dir, quantize: bool):
+    """Port (or random-init) decoder params, optionally in W8A8 int8 serving
+    mode. Quantization is fused with init/port so bf16 and int8 copies never
+    coexist in HBM (7B bf16 + int8 exceed one v5e chip)."""
+    from sjd_tpu.models import init_params
+    from sjd_tpu.models.transformer import quantize_weights
+
+    if ckpt_dir:
+        from sjd_tpu.utils.port import port_hf_llama_like
+
+        params = port_hf_llama_like(_load_sharded_state(ckpt_dir), model_cfg)
+        if quantize:
+            params = jax.jit(quantize_weights, donate_argnums=(0,))(params)
+        return params
+    if quantize:
+        return jax.jit(lambda k: quantize_weights(init_params(k, model_cfg)))(
+            jax.random.PRNGKey(0)
+        )
+    return jax.jit(lambda k: init_params(k, model_cfg))(jax.random.PRNGKey(0))
+
+
 def _load_sharded_state(ckpt_dir: str) -> dict:
     from sjd_tpu.utils.port import load_torch_checkpoint
 
@@ -77,6 +98,7 @@ def load_lumina_mgpt(
     init: str = "random",
     seed: int = 42,
     tokenizer=None,
+    quantize: bool = False,
 ) -> LoadedModel:
     from sjd_tpu.data.item_processor import FlexARItemProcessor, size_token_id
     from sjd_tpu.models import init_params
@@ -91,14 +113,7 @@ def load_lumina_mgpt(
         scheme=scheme,
         init=init,
     )
-    if ckpt_dir:
-        from sjd_tpu.utils.port import port_hf_llama_like
-
-        params = port_hf_llama_like(_load_sharded_state(ckpt_dir), eng.model_cfg)
-    else:
-        params = jax.jit(lambda k: init_params(k, eng.model_cfg))(
-            jax.random.PRNGKey(0)
-        )
+    params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
 
     vq_cfg = CHAMELEON_VQ
     if vq_ckpt:
@@ -159,9 +174,9 @@ def load_emu3(
     init: str = "random",
     tokenizer=None,
     negative_prompt_ids=None,
+    quantize: bool = True,  # 8B only fits one 16GB chip in W8A8
 ) -> LoadedModel:
     from sjd_tpu.data.emu3_processor import build_gen_prompt, extract_image_grid
-    from sjd_tpu.models import init_params
     from sjd_tpu.models.emu3 import emu3_engine, emu3_grammar_state
     from sjd_tpu.models.vq.emu3_port import port_emu3_vq
     from sjd_tpu.models.vq.emu3_vq import EMU3_VQ, decode as emu3_decode
@@ -170,14 +185,7 @@ def load_emu3(
         h=h, w=w, window=window, guidance_scale=guidance_scale,
         image_top_k=image_top_k, scheme=scheme, init=init,
     )
-    if ckpt_dir:
-        from sjd_tpu.utils.port import port_hf_llama_like
-
-        params = port_hf_llama_like(_load_sharded_state(ckpt_dir), eng.model_cfg)
-    else:
-        params = jax.jit(lambda k: init_params(k, eng.model_cfg))(
-            jax.random.PRNGKey(0)
-        )
+    params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
     vq_cfg = EMU3_VQ
     vq_params = None
     if vq_ckpt_dir:
@@ -310,6 +318,7 @@ def load_anole(
     init: str = "random",
     multimodal_generation_mode: str = "image-only",
     tokenizer=None,
+    quantize: bool = False,
 ) -> LoadedModel:
     """HF-Chameleon / Anole-7b: fixed 1024-token images after <boi>
     (scheduler/jacobi_iteration_anhole.py). The VQ decoder shares the
@@ -322,14 +331,7 @@ def load_anole(
         window=window, guidance_scale=guidance_scale, image_top_k=image_top_k,
         text_top_k=text_top_k, scheme=scheme, init=init,
     )
-    if ckpt_dir:
-        from sjd_tpu.utils.port import port_hf_llama_like
-
-        params = port_hf_llama_like(_load_sharded_state(ckpt_dir), eng.model_cfg)
-    else:
-        params = jax.jit(lambda k: init_params(k, eng.model_cfg))(
-            jax.random.PRNGKey(0)
-        )
+    params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
     vq_cfg = CHAMELEON_VQ
     vq_params = init_vq_params(jax.random.PRNGKey(1), vq_cfg)
 
