@@ -104,6 +104,8 @@ def lumina_engine(
     scheme: str = "speculative_jacobi",
     init: str = "random",
     max_len: int = 0,
+    temperature: float = 1.0,
+    top_p: float | None = None,
     dtype=jnp.bfloat16,
     greedy: bool = False,
     kv_quant: bool = True,
@@ -132,6 +134,8 @@ def lumina_engine(
         do_cfg=True,
         image_top_k=image_top_k,
         text_top_k=text_top_k,
+        temperature=temperature,
+        top_p=top_p,
         greedy=greedy,
     )
     engine = SJDEngine(model, econfig, LUMINA_GRAMMAR, sampling)

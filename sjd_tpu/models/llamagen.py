@@ -147,6 +147,8 @@ def llamagen_engine(
     image_top_k: int = 1000,
     scheme: str = "speculative_jacobi",
     init: str = "random",
+    temperature: float = 1.0,
+    top_p: float | None = None,
     dtype=jnp.bfloat16,
     greedy: bool = False,
 ) -> SJDEngine:
@@ -172,6 +174,8 @@ def llamagen_engine(
         do_cfg=guidance_scale != 1.0,
         image_top_k=image_top_k,
         text_top_k=image_top_k,
+        temperature=temperature,
+        top_p=top_p,
         greedy=greedy,
     )
     engine = SJDEngine(model, econfig, LLAMAGEN_GRAMMAR, sampling)
