@@ -229,11 +229,13 @@ def apply_grammar(
         # + 2 -> <image_end>; + 3 -> <eos>; beyond -> <pad>; else visual only.
         p = o + 1
         end = w1 * state.h_lat[:, None]
-        force_eol = active & (p % jnp.maximum(w1, 1) == 0) & (p <= end)
+        # the reference checks eol FIRST, so every (w+1)-divisible offset is
+        # <eol> even past the image end (utils_emu3.py:45-46)
+        force_eol = active & (p % jnp.maximum(w1, 1) == 0)
         force_eof = active & (p == end + 1)
         force_eoi = active & (p == end + 2)
         force_eos = active & (p == end + 3)
-        force_pad = active & (p > end + 3)
+        force_pad = active & (p > end + 3) & ~force_eol
         plain = active & ~(force_eol | force_eof | force_eoi | force_eos | force_pad)
         suppressed = jnp.where(is_image_tok[None, None, :], scores, NEG_INF)
         scores = jnp.where(plain[:, :, None], suppressed, scores)

@@ -126,7 +126,9 @@ def test_emu3_grammar_offsets():
     )
     W = 13
     out = np.asarray(G.apply_grammar(spec, state, jnp.zeros((1, W, V))))
-    expected = {3: [57], 7: [57], 8: [59], 9: [58], 10: [60], 11: [61], 12: [61]}
+    # note offset 11 (p=12, divisible by w+1=4): the reference forces <eol>
+    # even past the image end (eol has first priority, utils_emu3.py:45-46)
+    expected = {3: [57], 7: [57], 8: [59], 9: [58], 10: [60], 11: [57], 12: [61]}
     for i in range(W):
         allowed = _allowed(out[0, i])
         if i in expected:
