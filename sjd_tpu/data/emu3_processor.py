@@ -10,7 +10,7 @@ and decoding extracts the visual-token grid between the image header and
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Sequence
 
 import numpy as np
 

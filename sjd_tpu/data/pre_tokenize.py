@@ -11,7 +11,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import Callable, Iterable, List, Optional, Sequence
+from typing import Callable, Iterable, List, Sequence
 
 import numpy as np
 

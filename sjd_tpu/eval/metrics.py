@@ -11,7 +11,7 @@ clear error otherwise.
 from __future__ import annotations
 
 import os
-from typing import Callable, Iterable, List, Optional, Sequence
+from typing import Callable, Optional
 
 import numpy as np
 

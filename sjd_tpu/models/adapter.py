@@ -11,8 +11,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax.numpy as jnp
-
 from ..core.engine import ModelFns
 from . import transformer
 

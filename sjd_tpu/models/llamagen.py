@@ -18,9 +18,7 @@ the engine's static cache + per-sample length is the native design.
 
 from __future__ import annotations
 
-import dataclasses
 import math
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ from __future__ import annotations
 import html
 import re
 import urllib.parse as ul
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

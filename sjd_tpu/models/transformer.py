@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax

@@ -15,14 +15,13 @@ models/vq/taming.py:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from .taming import VQConfig, codebook_encode, conv2d, decode, encode
+from .taming import VQConfig, conv2d
 
 PyTree = Any
 

@@ -64,8 +64,6 @@ def decoder_param_specs(
 
 
 def _decoder_param_shapes(cfg: DecoderConfig) -> Dict:
-    import jax.numpy as jnp  # local to avoid cycles at import time
-
     from ..models.transformer import init_params
 
     return jax.eval_shape(lambda: init_params(jax.random.PRNGKey(0), cfg))
