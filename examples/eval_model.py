@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--vq-ckpt", default=None)
     ap.add_argument("--target-size", type=int, default=768)
+    ap.add_argument("--gpt-model", default="GPT-XL")
+    ap.add_argument("--latent-size", type=int, default=16)
+    ap.add_argument("--quantize", action="store_true")
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--cfg", type=float, default=3.0)
     ap.add_argument("--image-top-k", type=int, default=2000)
@@ -63,18 +66,23 @@ def main():
     )
     print(f"{len(shard)}/{len(records)} prompts -> {workdir}")
 
-    model = load_pretrained_model(
-        args.model,
-        ckpt_dir=args.ckpt_dir,
-        vq_ckpt=args.vq_ckpt,
-        target_size=args.target_size,
-        window=args.window,
-        guidance_scale=args.cfg,
-        image_top_k=args.image_top_k,
-        scheme=args.scheme,
-        init=args.init,
-        seed=args.seed,
-    )
+    common = dict(window=args.window, guidance_scale=args.cfg,
+                  image_top_k=args.image_top_k, scheme=args.scheme,
+                  init=args.init)
+    if "llamagen" in args.model:
+        kwargs = dict(gpt_ckpt=args.ckpt_dir, vq_ckpt=args.vq_ckpt,
+                      name=args.gpt_model, latent_size=args.latent_size,
+                      **common)
+    elif "emu3" in args.model:
+        kwargs = dict(ckpt_dir=args.ckpt_dir, quantize=args.quantize or True,
+                      **common)
+    elif "anole" in args.model:
+        kwargs = dict(ckpt_dir=args.ckpt_dir, quantize=args.quantize, **common)
+    else:  # lumina
+        kwargs = dict(ckpt_dir=args.ckpt_dir, vq_ckpt=args.vq_ckpt,
+                      target_size=args.target_size, seed=args.seed,
+                      quantize=args.quantize, **common)
+    model = load_pretrained_model(args.model, **kwargs)
     stats = run_prompt_set(
         model.sample_fn, shard, workdir,
         stats_path=os.path.join(workdir, f"stats_n{args.node_id}_w{args.worker_id}.json"),
