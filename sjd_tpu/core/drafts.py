@@ -19,8 +19,12 @@ Fresh-seed schemes (multi_token_init_scheme):
                       (reference :531-594). Column-0 (end-of-line) slots stay
                       random.
   'sample_horizon'  — same indexing, but the seed is the argmax of the
-                      recorded distribution at the source position (the
-                      reference's top-1-restricted multinomial, :484-500).
+                      recorded distribution at the source position. The
+                      reference's "multinomial" here is top-1-restricted
+                      (:484-500): topk(k=1) keeps one logit, everything else
+                      is -inf, softmax puts probability 1.0 on it, and the
+                      multinomial draw is deterministic — argmax is bit-exact
+                      parity, not an approximation.
 """
 
 from __future__ import annotations

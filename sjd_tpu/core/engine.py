@@ -55,14 +55,14 @@ class EngineConfig:
     scheme: str = "speculative_jacobi"  # | "jacobi"
     init: str = "random"  # | "repeat_horizon" | "sample_horizon"
     max_len: int = 4096  # stop when real length reaches this
-    buf_len: int = 0  # token buffer capacity; 0 -> max_len + window + 1
+    buf_len: int = 0  # token buffer capacity; 0 -> max_len + 2*window + prompt rows
     eos_id: int = -1
     pad_id: int = 0
     nfe_cap: int = 0  # 0 -> max_len (an AR upper bound)
     cfg_mode: str = "none"  # | "mask_prompt" | "neg_prompt"
 
-    def resolved_buf_len(self) -> int:
-        return self.buf_len or (self.max_len + self.window + 1)
+    def resolved_buf_len(self, prompt_rows: int = 0) -> int:
+        return self.buf_len or (self.max_len + 2 * self.window + prompt_rows)
 
     def resolved_nfe_cap(self) -> int:
         return self.nfe_cap or self.max_len
@@ -123,10 +123,23 @@ class SJDEngine:
         self.config = config
         self.spec = grammar_spec
         self.sampling = sampling_params
-        do_cfg = sampling_params.do_cfg and config.cfg_mode != "none"
+        # guidance_scale == 1.0 makes the CFG mix an identity (g*(c-u)+u == c),
+        # so the doubled batch would be pure waste — and process_window_logits
+        # would skip the collapse, leaking a [2B, W, V] tensor into acceptance.
+        # Normalizing here keeps _S_factor and the processor in lockstep.
+        do_cfg = (
+            sampling_params.do_cfg
+            and config.cfg_mode != "none"
+            and sampling_params.guidance_scale != 1.0
+        )
         self.sampling = dataclasses.replace(sampling_params, do_cfg=do_cfg)
-        self._generate = jax.jit(self._generate_impl, static_argnums=(9,))
-        self._continue = jax.jit(self._continue_impl, static_argnums=(2,))
+        # debug/ablation switch: False forces every step through the W-wide
+        # shape (the round-1 behavior); greedy output is identical either way
+        self.ar_fast_path = True
+        # nfe_cap is a *traced* operand of the while_loop condition: one
+        # compile serves every max_steps/resume budget (no per-cap recompile).
+        self._generate = jax.jit(self._generate_impl)
+        self._continue = jax.jit(self._continue_impl)
 
     # -- public API -----------------------------------------------------------
 
@@ -182,7 +195,7 @@ class SJDEngine:
         cap = self.config.resolved_nfe_cap() if max_steps is None else max_steps
         state = self._generate(
             params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate,
-            prompt_embeds, neg_prompt_embeds, cap,
+            prompt_embeds, neg_prompt_embeds, jnp.int32(cap),
         )
         result = self._result_from_state(state)
         return (result, state) if return_state else result
@@ -194,8 +207,7 @@ class SJDEngine:
         cap = int(state.nfe) + (
             max_steps if max_steps is not None else self.config.resolved_nfe_cap()
         )
-        cap = min(cap, self.config.resolved_nfe_cap() * 4)
-        state = self._continue(params, state, cap)
+        state = self._continue(params, state, jnp.int32(cap))
         result = self._result_from_state(state)
         return (result, state) if return_state else result
 
@@ -220,11 +232,53 @@ class SJDEngine:
             return x
         return jnp.concatenate([x, x], axis=0)
 
-    def _continue_impl(self, params, state: EngineState, nfe_cap: int) -> EngineState:
+    def _force_no_cfg(self, gstate: grammar_lib.GrammarState) -> jnp.ndarray:
+        """CFG is gated to open image segments (check_is_force_no_cfg,
+        jacobi_iteration_lumina_mgpt.py:70-80). Grammarless models (LlamaGen)
+        have no image segment marker and the reference applies CFG
+        unconditionally there (check_is_force_no_cfg returns False when no
+        image_start_token_id exists; llamagen_solver.py passes none) — so
+        kind="none" never disables CFG."""
+        if self.spec.kind == "none":
+            return jnp.zeros(gstate.in_image.shape, bool)
+        return ~gstate.in_image
+
+    def _continue_impl(self, params, state: EngineState, nfe_cap) -> EngineState:
+        cfg = self.config
+        W = cfg.window
+
         def cond(st: EngineState):
             return (~jnp.all(st.finished)) & (st.nfe < nfe_cap)
 
-        return jax.lax.while_loop(cond, lambda st: self._step(params, st), state)
+        if W == 1:
+            return jax.lax.while_loop(
+                cond, lambda st: self._step(params, st, 1), state
+            )
+        if not self.ar_fast_path:
+            return jax.lax.while_loop(
+                cond, lambda st: self._step(params, st, W), state
+            )
+
+        def body(st: EngineState) -> EngineState:
+            # 1-token AR fast path: outside [interval_l, interval_r) the
+            # reference pays a single-row forward (max_num_new_tokens=1,
+            # jacobi_iteration_lumina_mgpt.py:1025, 1142-1144); a W-wide
+            # forward there wastes W*(CFG factor) query rows. Both step
+            # shapes compile once; the branch is picked at runtime.
+            B = st.tokens.shape[0]
+            real_len = st.length - st.n_pad[:B]
+            in_interval = (real_len >= st.prompt_len + cfg.interval_l) & (
+                real_len < st.prompt_len + cfg.interval_r
+            )
+            any_multi = jnp.any(in_interval & ~st.finished)
+            return jax.lax.cond(
+                any_multi,
+                lambda s: self._step(params, s, W),
+                lambda s: self._step(params, s, 1),
+                st,
+            )
+
+        return jax.lax.while_loop(cond, body, state)
 
     def _generate_impl(
         self, params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate0,
@@ -235,7 +289,13 @@ class SJDEngine:
         B, P = prompt.shape
         W = cfg.window
         V = self.model.vocab_size
-        L_buf = cfg.resolved_buf_len()
+        # Buffer rows = left-pad + real tokens. Pad can reach P-1 per sample,
+        # a commit may overshoot max_len by W-1 before the finish check, and
+        # finished rows keep issuing (never-read) W-wide writes at their
+        # frozen length — so the default sizing budgets max_len + 2W + P.
+        # An explicit buf_len is honored as given; the padded-length finish
+        # guard in _step keeps writes in bounds either way (ADVICE r1).
+        L_buf = cfg.resolved_buf_len(P)
         kv_buf = L_buf + W + 1
         S = B * self._S_factor
 
@@ -304,7 +364,7 @@ class SJDEngine:
             logits_tail=1,
             **fwd_kwargs,
         )
-        force_no_cfg = ~gstate0.in_image
+        force_no_cfg = self._force_no_cfg(gstate0)
         probs0 = processors_lib.process_window_logits(
             logits, self.spec, gstate0, self.sampling, force_no_cfg=force_no_cfg
         )  # [B, 1, V]
@@ -346,11 +406,14 @@ class SJDEngine:
         # ---- decode loop -----------------------------------------------------
         return self._continue_impl(params, state, nfe_cap)
 
-    def _step(self, params: PyTree, st: EngineState) -> EngineState:
+    def _step(self, params: PyTree, st: EngineState, w_step: int) -> EngineState:
+        """One decode step over a ``w_step``-wide window (static; either the
+        configured window or 1 for the out-of-interval AR fast path)."""
         cfg = self.config
         spec = self.spec
         B = st.tokens.shape[0]
-        W = cfg.window
+        W = cfg.window  # state shapes stay full-width across lax.cond branches
+        Wr = w_step
         V = self.model.vocab_size
         rng, rng_draft, rng_tok, rng_acc = jax.random.split(st.rng, 4)
 
@@ -361,9 +424,9 @@ class SJDEngine:
         hi = st.prompt_len + cfg.interval_r
         in_interval = (real_len >= lo) & (real_len < hi)
         active_w = jnp.where(
-            in_interval, jnp.minimum(W, hi - real_len), 1
+            in_interval, jnp.minimum(Wr, hi - real_len), 1
         ).astype(jnp.int32)
-        active_w = jnp.clip(active_w, 1, W)
+        active_w = jnp.clip(active_w, 1, Wr)
 
         # ---- build the draft window -----------------------------------------
         win = drafts_lib.build_window(
@@ -377,14 +440,14 @@ class SJDEngine:
             carried_tokens=st.carried_tokens,
             carried_probs=st.carried_probs,
             carried_count=st.carried_count,
-            window=W,
+            window=Wr,
             vocab_size=V,
         )
 
         # ---- one forward over the window (CFG: doubled batch) ----------------
         x_s = self._tile(win.x)
         cache_end = self._tile(st.length - 1)
-        i = jnp.arange(W, dtype=jnp.int32)[None, :]
+        i = jnp.arange(Wr, dtype=jnp.int32)[None, :]
         positions = (self._tile(st.length)[:, None] - 1 - st.n_pad[:, None]) + i
         logits, kv = self.model.forward(
             params,
@@ -396,10 +459,10 @@ class SJDEngine:
             logits_tail=None,
         )
 
-        force_no_cfg = ~st.gstate.in_image
+        force_no_cfg = self._force_no_cfg(st.gstate)
         probs = processors_lib.process_window_logits(
             logits, spec, st.gstate, self.sampling, force_no_cfg=force_no_cfg
-        )  # [B, W, V]
+        )  # [B, Wr, V]
 
         if self.sampling.greedy:
             # Greedy decoding sharpens the model dist to a one-hot so the
@@ -442,12 +505,26 @@ class SJDEngine:
         last_prob = acceptance_lib._gather_rows(res.out_probs, res.n - 1)
         carried_count = jnp.where(st.finished, 0, res.carried_count)
 
-        j = jnp.arange(W, dtype=jnp.int32)[None, :]
+        j = jnp.arange(Wr, dtype=jnp.int32)[None, :]
         committed_live = j < n_eff[:, None]
         hit_eos = jnp.any(committed_live & (res.out_tokens == cfg.eos_id), axis=1)
-        room_cap = min(cfg.max_len, cfg.resolved_buf_len() - W - 1)
-        out_of_room = (length - pad_b) >= jnp.int32(room_cap)
+        # Semantic cap on the real length, plus a padded-length guard that
+        # keeps every future W-wide commit write inside the buffer (rows used
+        # include left-pad; dynamic_update_slice would otherwise clamp the
+        # offset and silently overwrite committed tokens — ADVICE r1).
+        L_buf = st.tokens.shape[1]
+        out_of_room = (real_len + n_eff >= jnp.int32(cfg.max_len)) | (
+            length > jnp.int32(L_buf - 2 * W)
+        )
         finished = st.finished | hit_eos | out_of_room
+
+        # widen step-local arrays back to the full window so both lax.cond
+        # branches return an identical state structure
+        def pad_w(a):
+            if Wr == W:
+                return a
+            widths = [(0, 0), (0, W - Wr)] + [(0, 0)] * (a.ndim - 2)
+            return jnp.pad(a, widths)
 
         return EngineState(
             rng=rng,
@@ -456,8 +533,8 @@ class SJDEngine:
             n_pad=st.n_pad,
             kv=kv,
             valid=st.valid,
-            carried_tokens=res.carried_tokens,
-            carried_probs=res.carried_probs,
+            carried_tokens=pad_w(res.carried_tokens),
+            carried_probs=pad_w(res.carried_probs),
             carried_count=carried_count,
             last_prob=last_prob,
             gstate=gstate,
