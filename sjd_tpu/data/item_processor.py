@@ -27,8 +27,10 @@ from ..models.chameleon import (
     NEW_LINE_ID,
     SIZE_TOKEN_BASE,
 )
+from .vocab_translation import VocabMapping, bpe_to_img, img_to_bpe
 
 SEP_TOKEN = "<reserved08706>"
+IMAGE_PLACEHOLDER = "<|image|>"
 
 
 def size_token_id(pixels: int, patch_size: int = 32) -> int:
@@ -40,11 +42,21 @@ def grid_dims(pixels_h: int, pixels_w: int) -> Tuple[int, int]:
     return pixels_h // 16, pixels_w // 16
 
 
-def image_block_from_grid(grid_ids: np.ndarray, pixels_h: int, pixels_w: int) -> List[int]:
-    """[h_lat, w_lat] VQ ids -> the FlexAR image token block
-    (FlexARItemProcessor.process_image, item_processor.py:109-145)."""
+def image_block_from_grid(
+    grid_ids: np.ndarray,
+    pixels_h: int,
+    pixels_w: int,
+    mapping: Optional[VocabMapping] = None,
+) -> List[int]:
+    """[h_lat, w_lat] VQ codebook ids -> the FlexAR image token block
+    (FlexARItemProcessor.process_image, item_processor.py:109-145). The LM
+    vocabulary uses BPE image-token ids, a name-derived permutation of the
+    codebook ids (chameleon_vae_ori/vocab.py:56-106) — pass ``mapping`` to
+    translate; None keeps raw ids (synthetic-token unit tests)."""
     h_lat, w_lat = grid_ids.shape
     assert (h_lat, w_lat) == grid_dims(pixels_h, pixels_w)
+    if mapping is not None:
+        grid_ids = img_to_bpe(mapping, np.asarray(grid_ids))
     with_eol = np.concatenate(
         [grid_ids, np.full((h_lat, 1), NEW_LINE_ID, grid_ids.dtype)], axis=1
     ).reshape(-1)
@@ -52,14 +64,17 @@ def image_block_from_grid(grid_ids: np.ndarray, pixels_h: int, pixels_w: int) ->
         IMAGE_START_ID,
         size_token_id(pixels_h),
         size_token_id(pixels_w),
-        *with_eol.tolist(),
+        *[int(t) for t in with_eol],
         IMAGE_END_ID,
     ]
 
 
-def image_grid_from_block(tokens: Sequence[int]) -> np.ndarray:
-    """Inverse: image token span (starting at <image_start>) -> [h, w] grid,
-    the decode_image path (item_processor.py:179-211)."""
+def image_grid_from_block(
+    tokens: Sequence[int], mapping: Optional[VocabMapping] = None
+) -> np.ndarray:
+    """Inverse: image token span (starting at <image_start>) -> [h, w] grid of
+    VQ codebook ids, the decode_image path (item_processor.py:179-211); pass
+    ``mapping`` to undo the BPE permutation before the codebook lookup."""
     tokens = list(tokens)
     assert tokens[0] == IMAGE_START_ID, "expected <image_start>"
     h_lat = (tokens[1] - SIZE_TOKEN_BASE) * 2
@@ -72,7 +87,10 @@ def image_grid_from_block(tokens: Sequence[int]) -> np.ndarray:
         eol = body[r * (w_lat + 1) + w_lat]
         assert eol == NEW_LINE_ID, f"missing <new_line> at row {r}: {eol}"
         rows.append(row)
-    return np.asarray(rows, np.int32)
+    grid = np.asarray(rows, np.int32)
+    if mapping is not None:
+        grid = bpe_to_img(mapping, grid)
+    return grid
 
 
 def split_generation(tokens: Sequence[int]):
@@ -124,18 +142,72 @@ class FlexARItemProcessor:
     """Tokenizer-backed prompt builder. `tokenizer` is any HF-style tokenizer
     with .encode / .decode over the Chameleon vocab (loaded from a checkpoint
     directory at runtime); the token-layout logic above stays tokenizer-free
-    and unit-testable."""
+    and unit-testable.
 
-    def __init__(self, tokenizer):
+    With ``vq_params``/``mapping`` it also covers the image-*input* flows of
+    the reference solver (inference_solver.py:299-353 takes ``images=[...]``;
+    item_processor.process_image, reference :110-146): pixels -> VQ encode ->
+    BPE-permute -> FlexAR block, spliced where ``<|image|>`` appears in a
+    conversation turn — the image2image / freeform demo paths."""
+
+    def __init__(self, tokenizer, *, mapping: Optional[VocabMapping] = None,
+                 vq_params=None, vq_cfg=None):
         self.tokenizer = tokenizer
+        self.mapping = mapping
+        self.vq_params = vq_params
+        self.vq_cfg = vq_cfg
 
     def t2i_prompt_ids(self, caption: str, pixels: int = 768) -> List[int]:
         text = conversation_prompt([[t2i_question(caption, pixels, pixels), None]])
         return list(self.tokenizer.encode(text))
 
+    def process_image(self, image) -> List[int]:
+        """PIL image (or [H, W, 3] array in [-1, 1]) -> FlexAR token block.
+        Mirrors the reference's process_image (item_processor.py:110-146):
+        VQ-encode at the image's native size, img->bpe translate, lay out
+        with per-row <new_line> and the grid-size header."""
+        assert self.vq_params is not None, "process_image needs vq_params"
+        import jax.numpy as jnp
+
+        from ..models.vq import encode as vq_encode
+
+        if hasattr(image, "size") and not isinstance(image, np.ndarray):
+            w_px, h_px = image.size
+            arr = np.asarray(image.convert("RGB"), np.float32) / 127.5 - 1.0
+        else:
+            arr = np.asarray(image, np.float32)
+            h_px, w_px = arr.shape[:2]
+        ids = vq_encode(self.vq_params, self.vq_cfg, jnp.asarray(arr[None]))
+        f = self.vq_cfg.downsample_factor  # 16 for the Chameleon VQGAN
+        grid = np.asarray(ids[0], np.int32).reshape(h_px // f, w_px // f)
+        return image_block_from_grid(grid, h_px, w_px, mapping=self.mapping)
+
+    def multimodal_prompt_ids(self, qas: List[List[Optional[str]]],
+                              images: Sequence = ()) -> List[int]:
+        """Conversation turns with ``<|image|>`` placeholders substituted by
+        encoded image blocks, in order — process_item of the reference
+        (media substitution per MMConvItemProcessor, consumed by
+        inference_solver.generate :299-353)."""
+        img_iter = iter(images)
+        out: List[int] = []
+
+        def emit(text: str):
+            parts = text.split(IMAGE_PLACEHOLDER)
+            for k, part in enumerate(parts):
+                if k:
+                    out.extend(self.process_image(next(img_iter)))
+                if part:
+                    out.extend(self.tokenizer.encode(part))
+
+        for q, a in qas:
+            emit(q + SEP_TOKEN)
+            if a is not None:
+                emit(a + SEP_TOKEN)
+        return out
+
     def decode_images(self, tokens: Sequence[int]) -> List[np.ndarray]:
         return [
-            image_grid_from_block(span)
+            image_grid_from_block(span, mapping=self.mapping)
             for kind, span in split_generation(tokens)
             if kind == "image"
         ]

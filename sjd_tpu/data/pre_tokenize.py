@@ -25,16 +25,17 @@ def shard_items(items: Sequence, splits: int, rank: int) -> Sequence:
 
 def tokenize_t2i_item(
     caption: str,
-    grid_ids: np.ndarray,  # [h, w] VQ ids
+    grid_ids: np.ndarray,  # [h, w] VQ codebook ids
     pixels: int,
     encode_text: Callable[[str], List[int]],
     sep_id: int,
+    mapping=None,  # VocabMapping: codebook -> BPE permutation for real vocabs
 ) -> dict:
     """Conversation = [question, image-answer]; labels mask the prompt with
     -100 (MMConvItemProcessor per-role labels, xllmx/data/item_processor.py)."""
     q = conversation_prompt([[t2i_question(caption, pixels, pixels), None]])
     prompt_ids = list(encode_text(q))
-    image_ids = image_block_from_grid(grid_ids, pixels, pixels) + [sep_id]
+    image_ids = image_block_from_grid(grid_ids, pixels, pixels, mapping=mapping) + [sep_id]
     input_ids = prompt_ids + image_ids
     labels = [-100] * len(prompt_ids) + image_ids
     return {"input_ids": input_ids, "labels": labels, "len": len(input_ids)}
@@ -49,6 +50,7 @@ def run_pretokenize(
     sep_id: int = 8710,
     splits: int = 1,
     rank: int = 0,
+    mapping=None,
 ) -> str:
     """Writes files/{rank}-{i}.pkl + records-{rank}.json; returns record path."""
     os.makedirs(os.path.join(out_dir, "files"), exist_ok=True)
@@ -56,7 +58,8 @@ def run_pretokenize(
     records = []
     for i, item in enumerate(items):
         tok = tokenize_t2i_item(
-            item["caption"], np.asarray(item["grid"]), pixels, encode_text, sep_id
+            item["caption"], np.asarray(item["grid"]), pixels, encode_text,
+            sep_id, mapping=mapping,
         )
         path = os.path.join(out_dir, "files", f"{rank}-{i}.pkl")
         with open(path, "wb") as f:

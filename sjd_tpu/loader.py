@@ -101,6 +101,10 @@ def load_lumina_mgpt(
     quantize: bool = False,
 ) -> LoadedModel:
     from sjd_tpu.data.item_processor import FlexARItemProcessor, size_token_id
+    from sjd_tpu.data.vocab_translation import (
+        identity_mapping,
+        mapping_from_tokenizer,
+    )
     from sjd_tpu.models import init_params
     from sjd_tpu.models.chameleon import IMAGE_START_ID, lumina_engine
     from sjd_tpu.models.vq import CHAMELEON_VQ, decode as vq_decode, init_vq_params, port_vqgan
@@ -123,8 +127,43 @@ def load_lumina_mgpt(
     else:
         vq_params = init_vq_params(jax.random.PRNGKey(1), vq_cfg)
 
-    item_proc = FlexARItemProcessor(tokenizer) if tokenizer else None
-    grid = target_size // 16
+    # LM image tokens are a name-derived permutation of the codebook ids
+    # (chameleon_vae_ori/vocab.py:56-106); the true mapping comes from the
+    # tokenizer's IMGIMG names. The offset fallback keeps tokenizer-free
+    # random-weight demos drivable but is NOT the real permutation.
+    if tokenizer is not None and hasattr(tokenizer, "get_vocab"):
+        mapping = mapping_from_tokenizer(tokenizer)
+    else:
+        mapping = identity_mapping(vq_cfg.n_embed, 4)
+
+    item_proc = FlexARItemProcessor(
+        tokenizer, mapping=mapping, vq_params=vq_params, vq_cfg=vq_cfg
+    ) if tokenizer else None
+
+    def _decode_last_image(toks):
+        from sjd_tpu.data.item_processor import (
+            image_grid_from_block,
+            split_generation,
+        )
+
+        spans = [s for k, s in split_generation(toks) if k == "image"]
+        assert spans, "no image generated"
+        grid_ids = image_grid_from_block(
+            spans[-1][:-1] if spans[-1][-1] == 8196 else spans[-1],
+            mapping=mapping,
+        )
+        pixels = vq_decode(
+            vq_params, vq_cfg, jnp.asarray(grid_ids.reshape(1, -1)), grid_ids.shape
+        )
+        return _to_pil(np.asarray(pixels[0]))
+
+    def _generate_from_ids(ids, rng_seed):
+        prompt_arr = jnp.asarray([ids], jnp.int32)
+        res = eng.generate(
+            params, jax.random.PRNGKey(rng_seed if rng_seed is not None else seed),
+            prompt_arr,
+        )
+        return res.tokens[0, : int(res.length[0])].tolist()
 
     def sample_fn(prompt: str, rng_seed: Optional[int] = None):
         if item_proc:
@@ -135,29 +174,22 @@ def load_lumina_mgpt(
             h = abs(hash(prompt))
             ids = [(h >> (4 * i)) % 4000 + 9000 for i in range(12)]
         ids = ids + [IMAGE_START_ID, size_token_id(target_size), size_token_id(target_size)]
-        prompt_arr = jnp.asarray([ids], jnp.int32)
-        res = eng.generate(
-            params, jax.random.PRNGKey(rng_seed if rng_seed is not None else seed),
-            prompt_arr,
-        )
-        toks = res.tokens[0, : int(res.length[0])].tolist()
-        from sjd_tpu.data.item_processor import split_generation
+        return _decode_last_image(_generate_from_ids(ids, rng_seed))
 
-        spans = [s for k, s in split_generation(toks) if k == "image"]
-        assert spans, "no image generated"
-        from sjd_tpu.data.item_processor import image_grid_from_block
-
-        grid_ids = image_grid_from_block(
-            spans[-1][:-1] if spans[-1][-1] == 8196 else spans[-1]
-        )
-        pixels = vq_decode(
-            vq_params, vq_cfg, jnp.asarray(grid_ids.reshape(1, -1)), grid_ids.shape
-        )
-        return _to_pil(np.asarray(pixels[0]))
+    def sample_i2i_fn(prompt: str, images, rng_seed: Optional[int] = None):
+        """Image-conditioned generation (image2image / freeform): the prompt
+        may contain <|image|> placeholders consumed from ``images`` in order
+        (inference_solver.generate images=[...], reference :299-353)."""
+        assert item_proc is not None, "image-input prompting needs a tokenizer"
+        ids = item_proc.multimodal_prompt_ids([[prompt, None]], images)
+        ids = ids + [IMAGE_START_ID, size_token_id(target_size), size_token_id(target_size)]
+        return _decode_last_image(_generate_from_ids(ids, rng_seed))
 
     return LoadedModel(
         name="lumina_mgpt", engine=eng, params=params, sample_fn=sample_fn,
-        extras={"vq_params": vq_params, "vq_cfg": vq_cfg, "nfe": None},
+        extras={"vq_params": vq_params, "vq_cfg": vq_cfg, "nfe": None,
+                "mapping": mapping, "item_processor": item_proc,
+                "sample_i2i_fn": sample_i2i_fn},
     )
 
 
@@ -323,6 +355,11 @@ def load_anole(
     """HF-Chameleon / Anole-7b: fixed 1024-token images after <boi>
     (scheduler/jacobi_iteration_anhole.py). The VQ decoder shares the
     Chameleon VQGAN (models/vq CHAMELEON_VQ)."""
+    from sjd_tpu.data.vocab_translation import (
+        bpe_to_img,
+        identity_mapping,
+        mapping_from_tokenizer,
+    )
     from sjd_tpu.models import init_params
     from sjd_tpu.models.anole import BOI_ID, anole_engine
     from sjd_tpu.models.vq import CHAMELEON_VQ, decode as vq_decode, init_vq_params
@@ -334,6 +371,13 @@ def load_anole(
     params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
     vq_cfg = CHAMELEON_VQ
     vq_params = init_vq_params(jax.random.PRNGKey(1), vq_cfg)
+
+    # bpe->codebook permutation (anole/modeling_chameleon.py:1562-1626,
+    # convert_bpe2img_tokens); offset fallback for tokenizer-free demos
+    if tokenizer is not None and hasattr(tokenizer, "get_vocab"):
+        mapping = mapping_from_tokenizer(tokenizer)
+    else:
+        mapping = identity_mapping(vq_cfg.n_embed, 4)
 
     def sample_fn(prompt: str, rng_seed: int = 42):
         if tokenizer is not None:
@@ -349,12 +393,13 @@ def load_anole(
         toks = res.tokens[0, : int(res.length[0])].tolist()
         start = len(ids)
         grid = np.asarray(toks[start : start + 1024], np.int32).reshape(32, 32)
+        grid = bpe_to_img(mapping, grid)  # decode_image_tokens, reference :1606-1626
         pixels = vq_decode(vq_params, vq_cfg, jnp.asarray(grid.reshape(1, -1)), (32, 32))
         return _to_pil(np.asarray(pixels[0]))
 
     return LoadedModel(
         name="anole", engine=eng, params=params, sample_fn=sample_fn,
-        extras={"vq_params": vq_params, "vq_cfg": vq_cfg,
+        extras={"vq_params": vq_params, "vq_cfg": vq_cfg, "mapping": mapping,
                 "multimodal_generation_mode": multimodal_generation_mode},
     )
 
