@@ -365,8 +365,10 @@ class SJDEngine:
             **fwd_kwargs,
         )
         force_no_cfg = self._force_no_cfg(gstate0)
+        prompt_len_b = jnp.sum(prompt_mask.astype(jnp.int32), axis=1)
         probs0 = processors_lib.process_window_logits(
-            logits, self.spec, gstate0, self.sampling, force_no_cfg=force_no_cfg
+            logits, self.spec, gstate0, self.sampling, force_no_cfg=force_no_cfg,
+            pred_pos=prompt_len_b[:, None], begin_pos=prompt_len_b,
         )  # [B, 1, V]
         if self.sampling.greedy:
             y0 = jnp.argmax(probs0[:, 0, :], axis=-1).astype(jnp.int32)
@@ -460,8 +462,10 @@ class SJDEngine:
         )
 
         force_no_cfg = self._force_no_cfg(st.gstate)
+        pred_pos = real_len[:, None] + i  # row i predicts real position len+i
         probs = processors_lib.process_window_logits(
-            logits, spec, st.gstate, self.sampling, force_no_cfg=force_no_cfg
+            logits, spec, st.gstate, self.sampling, force_no_cfg=force_no_cfg,
+            pred_pos=pred_pos, begin_pos=st.prompt_len,
         )  # [B, Wr, V]
 
         if self.sampling.greedy:
@@ -476,7 +480,8 @@ class SJDEngine:
         # ---- acceptance -------------------------------------------------------
         def resample_fn(r, residual_logits, reject_row):
             p = processors_lib.process_residual_logits(
-                residual_logits, spec, st.gstate, self.sampling, reject_row
+                residual_logits, spec, st.gstate, self.sampling, reject_row,
+                pred_pos=real_len + reject_row, begin_pos=st.prompt_len,
             )
             if self.sampling.greedy:
                 return jnp.argmax(p, axis=-1).astype(jnp.int32)

@@ -59,8 +59,18 @@ class GrammarSpec:
     eof_id: int = -1
     eos_id: int = -1
     pad_id: int = -1
-    # anole only
+    # anole only (multimodal_generation_mode stacks,
+    # scheduler/jacobi_iteration_anhole.py:121-272)
     image_seq_length: int = 1024
+    # "image-only" | "text-only" | "interleaved" | "unrestricted"
+    mode: str = "image-only"
+    # suppress <boi> at prediction positions >= this (the "don't start an
+    # image without room for image_seq_length tokens" range processor);
+    # -1 disables. Positions are real (unpadded) sequence indices.
+    boi_suppress_from: int = -1
+    # image-only: eos may not be the first generated token
+    # (SuppressTokensAtBeginLogitsProcessor3d with begin_index = prompt len)
+    suppress_eos_at_begin: bool = False
 
 
 class GrammarState(NamedTuple):
@@ -189,9 +199,14 @@ def apply_grammar(
     spec: GrammarSpec,
     state: GrammarState,
     scores: jnp.ndarray,  # [B, W, V] fp32
+    *,
+    pred_pos: Optional[jnp.ndarray] = None,  # [B, W] real position each row predicts
+    begin_pos: Optional[jnp.ndarray] = None,  # [B] first generated position (prompt len)
 ) -> jnp.ndarray:
     """Constrain window scores. Row i predicts the token at image offset
-    ``o_i = img_count + i`` (0-indexed within the post-header image span)."""
+    ``o_i = img_count + i`` (0-indexed within the post-header image span).
+    ``pred_pos``/``begin_pos`` feed the position-range anole processors
+    (boi room check, eos-at-begin); None skips those constraints."""
     if spec.kind == "none":
         return scores
 
@@ -247,14 +262,56 @@ def apply_grammar(
         return scores
 
     if spec.kind == "anole":
-        # AllowOnlyTokensInRelativeWindow (image tokens for image_seq_length
-        # positions after <boi>) + AllowOnlyTokensAtRelativeOffset (<eoi> at
-        # offset image_seq_length+1) — scheduler/jacobi_iteration_anhole.py.
-        in_window = active & (o < spec.image_seq_length)
-        force_eoi = active & (o == spec.image_seq_length)
+        # The multimodal_generation_mode stacks of the reference
+        # (jacobi_iteration_anhole.py:170-262, processors at
+        # logit_processor_3dim.py:207-353). Both Allow* processors run with
+        # exclusive=True: image tokens are legal ONLY inside the
+        # image_seq_length window after <boi>, and <eoi> ONLY at the exact
+        # end offset — suppressed everywhere else.
+        if spec.mode == "unrestricted":
+            return scores
+        is_boi = vocab == spec.image_start_id
+        is_eoi = vocab == spec.image_end_id
+        if spec.mode == "text-only":
+            # SuppressTokensLogitsProcessor3d(image_token_ids + [boi, eoi])
+            banned = is_image_tok | is_boi | is_eoi
+            return jnp.where(banned[None, None, :], NEG_INF, scores)
+
+        L = spec.image_seq_length
+        in_win = active & (o < L)  # image body rows: image vocab only
+        at_eoi = active & (o == L)  # the closing row: <eoi> only
+        outside = ~(in_win | at_eoi)
+
         suppressed = jnp.where(is_image_tok[None, None, :], scores, NEG_INF)
-        scores = jnp.where(in_window[:, :, None], suppressed, scores)
-        scores = _force_rows(scores, force_eoi, spec.image_end_id)
+        scores = jnp.where(in_win[:, :, None], suppressed, scores)
+        # the closing row keeps <eoi>'s original score and masks the rest
+        # (AllowOnlyTokensAtRelativeOffset masks, it does not zero-force)
+        scores = jnp.where(
+            at_eoi[:, :, None] & ~is_eoi[None, None, :], NEG_INF, scores
+        )
+        # exclusive=True: image vocab and <eoi> are illegal outside their rows
+        scores = jnp.where(
+            outside[:, :, None] & (is_image_tok | is_eoi)[None, None, :],
+            NEG_INF, scores,
+        )
+        # no <boi> without room for a whole image before max_length
+        # (SuppressTokensInIndexRangeLogitsProcessor3d on boi)
+        if spec.boi_suppress_from >= 0 and pred_pos is not None:
+            no_room = pred_pos >= spec.boi_suppress_from  # [B, W]
+            scores = jnp.where(
+                no_room[:, :, None] & is_boi[None, None, :], NEG_INF, scores
+            )
+        if spec.mode == "image-only":
+            # global allowlist {image, eos, boi, eoi}: text is never legal
+            allowed = is_image_tok | is_boi | is_eoi | (vocab == spec.eos_id)
+            scores = jnp.where(allowed[None, None, :], scores, NEG_INF)
+            # eos may not be the very first generated token
+            if spec.suppress_eos_at_begin and pred_pos is not None and begin_pos is not None:
+                at_begin = pred_pos == begin_pos[:, None]
+                scores = jnp.where(
+                    at_begin[:, :, None] & (vocab == spec.eos_id)[None, None, :],
+                    NEG_INF, scores,
+                )
         return scores
 
     raise ValueError(f"unknown grammar kind {spec.kind!r}")
@@ -265,6 +322,9 @@ def apply_grammar_single(
     state: GrammarState,
     scores: jnp.ndarray,  # [B, V]
     offset_in_window: jnp.ndarray,  # [B] row index the scores correspond to
+    *,
+    pred_pos: Optional[jnp.ndarray] = None,  # [B] real position of that row
+    begin_pos: Optional[jnp.ndarray] = None,  # [B]
 ) -> jnp.ndarray:
     """Grammar for a single residual-resample row at window offset k.
 
@@ -274,8 +334,10 @@ def apply_grammar_single(
     """
     if spec.kind == "none":
         return scores
-    B, V = scores.shape
-    W = 1
     # Reuse the window implementation with a per-sample img_count shift.
     shifted = state._replace(img_count=state.img_count + offset_in_window)
-    return apply_grammar(spec, shifted, scores[:, None, :])[:, 0, :]
+    return apply_grammar(
+        spec, shifted, scores[:, None, :],
+        pred_pos=None if pred_pos is None else pred_pos[:, None],
+        begin_pos=begin_pos,
+    )[:, 0, :]

@@ -52,6 +52,8 @@ def process_window_logits(
     params: SamplingParams,
     *,
     force_no_cfg: Optional[jnp.ndarray] = None,  # [B] bool
+    pred_pos: Optional[jnp.ndarray] = None,  # [B, W] real predicted positions
+    begin_pos: Optional[jnp.ndarray] = None,  # [B] first generated position
 ) -> jnp.ndarray:
     """Returns processed per-token probabilities [B, W, V] (fp32, sums to 1).
 
@@ -70,7 +72,9 @@ def process_window_logits(
     if params.temperature != 1.0:
         scores = scores / params.temperature
 
-    scores = grammar_lib.apply_grammar(spec, gstate, scores)
+    scores = grammar_lib.apply_grammar(
+        spec, gstate, scores, pred_pos=pred_pos, begin_pos=begin_pos
+    )
 
     image_mode = gstate.in_image
     scores = sampling.top_k_dual(
@@ -88,12 +92,16 @@ def process_residual_logits(
     gstate: grammar_lib.GrammarState,
     params: SamplingParams,
     offset_in_window: jnp.ndarray,  # [B] — window row of the rejected token
+    *,
+    pred_pos: Optional[jnp.ndarray] = None,  # [B] real position of that row
+    begin_pos: Optional[jnp.ndarray] = None,  # [B]
 ) -> jnp.ndarray:
     """Re-constrain the rejection-resampling residual, as
     reject_sampling_single_token does (jacobi_iteration_lumina_mgpt.py:215-241):
     grammar + top-k run again on the residual logits, then softmax."""
     scores = grammar_lib.apply_grammar_single(
-        spec, gstate, residual_logits, offset_in_window
+        spec, gstate, residual_logits, offset_in_window,
+        pred_pos=pred_pos, begin_pos=begin_pos,
     )
     scores = sampling.top_k_dual(
         scores[:, None, :], gstate.in_image, params.image_top_k, params.text_top_k

@@ -367,6 +367,7 @@ def load_anole(
     eng = anole_engine(
         window=window, guidance_scale=guidance_scale, image_top_k=image_top_k,
         text_top_k=text_top_k, scheme=scheme, init=init,
+        multimodal_generation_mode=multimodal_generation_mode,
     )
     params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
     vq_cfg = CHAMELEON_VQ
@@ -379,23 +380,46 @@ def load_anole(
     else:
         mapping = identity_mapping(vq_cfg.n_embed, 4)
 
-    def sample_fn(prompt: str, rng_seed: int = 42):
+    mode = {"interleaved-text-image": "interleaved"}.get(
+        multimodal_generation_mode, multimodal_generation_mode
+    )
+
+    def _generate_ids(prompt: str, rng_seed: int):
         if tokenizer is not None:
             ids = list(tokenizer.encode(prompt))
         else:
             h = abs(hash(prompt))
             ids = [(h >> (4 * i)) % 4000 + 9000 for i in range(12)]
-        if multimodal_generation_mode == "image-only":
+        if mode == "image-only":
             ids = ids + [BOI_ID]
         res = eng.generate(
             params, jax.random.PRNGKey(rng_seed), jnp.asarray([ids], jnp.int32)
         )
-        toks = res.tokens[0, : int(res.length[0])].tolist()
-        start = len(ids)
+        return ids, res.tokens[0, : int(res.length[0])].tolist()
+
+    def _decode_image_span(toks, start):
+        """1024-token image span -> pixels (decode_image_tokens trim,
+        reference jacobi_iteration_anhole.py:290-316)."""
         grid = np.asarray(toks[start : start + 1024], np.int32).reshape(32, 32)
-        grid = bpe_to_img(mapping, grid)  # decode_image_tokens, reference :1606-1626
+        grid = bpe_to_img(mapping, grid)  # reference :1606-1626
         pixels = vq_decode(vq_params, vq_cfg, jnp.asarray(grid.reshape(1, -1)), (32, 32))
         return _to_pil(np.asarray(pixels[0]))
+
+    def sample_fn(prompt: str, rng_seed: int = 42):
+        ids, toks = _generate_ids(prompt, rng_seed)
+        if mode == "text-only":
+            return toks[len(ids):]  # token ids; detokenization is the caller's
+        gen = toks[len(ids):]
+        if mode == "image-only":
+            start = len(ids)  # <boi> was appended to the prompt
+        else:  # interleaved / unrestricted: first complete image span
+            rel = next(
+                (k + 1 for k, t in enumerate(gen)
+                 if t == BOI_ID and len(gen) - k > 1024), None
+            )
+            assert rel is not None, "no complete image in the generation"
+            start = len(ids) + rel
+        return _decode_image_span(toks, start)
 
     return LoadedModel(
         name="anole", engine=eng, params=params, sample_fn=sample_fn,

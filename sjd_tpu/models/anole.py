@@ -30,14 +30,35 @@ IMAGE_VOCAB_END = 8195
 IMAGE_SEQ_LENGTH = 1024  # 32x32 latents (anole/modeling_chameleon.py:1529-1531)
 EOS_ID = 2
 
-ANOLE_GRAMMAR = GrammarSpec(
-    kind="anole",
-    image_start_id=BOI_ID,
-    image_end_id=EOI_ID,
-    image_vocab_start=IMAGE_VOCAB_START,
-    image_vocab_end=IMAGE_VOCAB_END,
-    image_seq_length=IMAGE_SEQ_LENGTH,
-)
+def anole_grammar(
+    mode: str = "image-only", *, max_len: int = 0
+) -> GrammarSpec:
+    """Grammar spec per multimodal_generation_mode (reference
+    jacobi_iteration_anhole.py:170-262). Mode aliases normalize the
+    reference's "interleaved-text-image" spelling."""
+    mode = {"interleaved-text-image": "interleaved"}.get(mode, mode)
+    assert mode in ("image-only", "text-only", "interleaved", "unrestricted"), mode
+    return GrammarSpec(
+        kind="anole",
+        image_start_id=BOI_ID,
+        image_end_id=EOI_ID,
+        image_vocab_start=IMAGE_VOCAB_START,
+        image_vocab_end=IMAGE_VOCAB_END,
+        image_seq_length=IMAGE_SEQ_LENGTH,
+        eos_id=EOS_ID,
+        mode=mode,
+        # SuppressTokensInIndexRange on <boi> from
+        # max_length - image_seq_length - 1 (reference :218-224)
+        boi_suppress_from=(
+            max_len - IMAGE_SEQ_LENGTH - 1
+            if max_len and mode in ("image-only", "interleaved")
+            else -1
+        ),
+        suppress_eos_at_begin=(mode == "image-only"),
+    )
+
+
+ANOLE_GRAMMAR = anole_grammar("image-only")
 
 
 def anole_engine(
@@ -52,6 +73,7 @@ def anole_engine(
     max_len: int = 0,
     dtype=jnp.bfloat16,
     greedy: bool = False,
+    multimodal_generation_mode: str = "image-only",
 ) -> SJDEngine:
     cfg = chameleon_config("7B", dtype)
     if not max_len:
@@ -76,6 +98,10 @@ def anole_engine(
         top_p=top_p,
         greedy=greedy,
     )
-    engine = SJDEngine(model, econfig, ANOLE_GRAMMAR, sampling)
+    engine = SJDEngine(
+        model, econfig,
+        anole_grammar(multimodal_generation_mode, max_len=max_len),
+        sampling,
+    )
     engine.model_cfg = cfg
     return engine
