@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--gpt-model", default="GPT-XL")
     ap.add_argument("--latent-size", type=int, default=16)
     ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--no-quantize", action="store_true",
+                    help="force-disable W8A8 (overrides per-family defaults)")
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--cfg", type=float, default=3.0)
     ap.add_argument("--image-top-k", type=int, default=2000)
@@ -74,8 +76,10 @@ def main():
                       name=args.gpt_model, latent_size=args.latent_size,
                       **common)
     elif "emu3" in args.model:
-        kwargs = dict(ckpt_dir=args.ckpt_dir, quantize=args.quantize or True,
-                      **common)
+        # quantize defaults True for the 8B (HBM) but stays overridable
+        kwargs = dict(ckpt_dir=args.ckpt_dir, **common)
+        if args.quantize or args.no_quantize:
+            kwargs["quantize"] = args.quantize and not args.no_quantize
     elif "anole" in args.model:
         kwargs = dict(ckpt_dir=args.ckpt_dir, quantize=args.quantize, **common)
     else:  # lumina

@@ -205,13 +205,29 @@ def load_emu3(
     scheme: str = "speculative_jacobi",
     init: str = "random",
     tokenizer=None,
+    tokenizer_dir: Optional[str] = None,
     negative_prompt_ids=None,
+    negative_prompt: Optional[str] = None,
+    positive_suffix: Optional[str] = None,
     quantize: bool = True,  # 8B only fits one 16GB chip in W8A8
 ) -> LoadedModel:
     from sjd_tpu.data.emu3_processor import build_gen_prompt, extract_image_grid
     from sjd_tpu.models.emu3 import emu3_engine, emu3_grammar_state
     from sjd_tpu.models.vq.emu3_port import port_emu3_vq
     from sjd_tpu.models.vq.emu3_vq import EMU3_VQ, decode as emu3_decode
+    from sjd_tpu.utils.emu3_tokenizer import (
+        DEFAULT_NEGATIVE_PROMPT,
+        DEFAULT_POSITIVE_SUFFIX,
+        Emu3Tokenizer,
+    )
+
+    # native tiktoken loader (no trust_remote_code): a checkpoint dir holding
+    # emu3.tiktoken + emu3_vision_tokens.txt is enough
+    if tokenizer is None and tokenizer_dir:
+        tokenizer = Emu3Tokenizer(
+            os.path.join(tokenizer_dir, "emu3.tiktoken"),
+            os.path.join(tokenizer_dir, "emu3_vision_tokens.txt"),
+        )
 
     eng = emu3_engine(
         h=h, w=w, window=window, guidance_scale=guidance_scale,
@@ -223,21 +239,36 @@ def load_emu3(
     if vq_ckpt_dir:
         vq_params = port_emu3_vq(_load_sharded_state(vq_ckpt_dir), vq_cfg)
 
+    if positive_suffix is None:
+        positive_suffix = DEFAULT_POSITIVE_SUFFIX
+    if negative_prompt is None:
+        negative_prompt = DEFAULT_NEGATIVE_PROMPT
+
     def sample_fn(prompt: str, rng_seed: int = 42):
         if tokenizer is not None:
-            text_ids = list(tokenizer.encode(prompt))
+            # the reference's quality setup (test_emu3.py:56-79): positive
+            # suffix appended; the negative prompt is a FULL generation
+            # prompt with its own boi + "{H}*{W}" header
+            text_ids = list(tokenizer.encode(prompt + positive_suffix))
             tok = lambda s: list(tokenizer.encode(s))  # noqa: E731
+            neg_text_ids = list(tokenizer.encode(negative_prompt))
         else:
             hsh = abs(hash(prompt))
             text_ids = [(hsh >> (4 * i)) % 1000 + 1000 for i in range(12)]
             tok = lambda s: [1500]  # noqa: E731
+            nh = abs(hash(negative_prompt))
+            neg_text_ids = [(nh >> (4 * i)) % 1000 + 1000 for i in range(8)]
         ids = build_gen_prompt(text_ids, h, w, tok)
-        neg = negative_prompt_ids if negative_prompt_ids is not None else ids[:2]
+        neg = (
+            list(negative_prompt_ids)
+            if negative_prompt_ids is not None
+            else build_gen_prompt(neg_text_ids, h, w, tok)
+        )
         res = eng.generate(
             params,
             jax.random.PRNGKey(rng_seed),
             jnp.asarray([ids], jnp.int32),
-            neg_prompt=jnp.asarray([list(neg)], jnp.int32),
+            neg_prompt=jnp.asarray([neg], jnp.int32),
             gstate=emu3_grammar_state(1, h, w),
         )
         toks = res.tokens[0, : int(res.length[0])].tolist()
@@ -249,7 +280,8 @@ def load_emu3(
 
     return LoadedModel(
         name="emu3", engine=eng, params=params, sample_fn=sample_fn,
-        extras={"vq_params": vq_params, "vq_cfg": vq_cfg},
+        extras={"vq_params": vq_params, "vq_cfg": vq_cfg,
+                "tokenizer": tokenizer, "negative_prompt": negative_prompt},
     )
 
 
