@@ -81,3 +81,51 @@ def test_window_grammar_matches_reference_processor():
         np.testing.assert_allclose(
             got[got_mask], want[want_mask], rtol=1e-6, err_msg=f"n_body={n_body}"
         )
+
+
+def test_header_inside_window_matches_reference():
+    """The image header (<image_start> h w) sits in the DRAFT WINDOW, not in
+    the committed ids. The reference's processors receive committed ids only
+    (all_collected_input_ids = input_ids, jacobi_iteration_lumina_mgpt.py:
+    1078-1079 — the window lives in model_inputs['input_ids']), so neither
+    implementation constrains the window rows this step: committed-only
+    grammar arming is bit-parity, not a divergence (VERDICT r1 item 7)."""
+    from scheduler.logit_processor_3dim import MultiTokensVLLogitsProcessor
+
+    spec = _spec()
+    rs = np.random.RandomState(3)
+
+    # committed ids end BEFORE the image header; the header tokens are drafts
+    ids = [11, 12, 13]
+    scores = rs.randn(1, W, V).astype(np.float32)
+
+    ref_proc = MultiTokensVLLogitsProcessor(
+        image_start_token_id=8197, image_end_token_id=8196,
+        image_next_line_token_id=8803, patch_size=32, voc_size=V,
+    )
+    want = ref_proc(torch.tensor([ids]), torch.tensor(scores.copy())).numpy()
+
+    st = G.init_state(1)
+    st = G.update_state(
+        spec, st, jnp.asarray([ids], jnp.int32),
+        jnp.asarray([len(ids)], jnp.int32),
+    )
+    got = np.asarray(G.apply_grammar(spec, st, jnp.asarray(scores)))
+
+    np.testing.assert_allclose(got, want)  # both leave the window untouched
+    np.testing.assert_allclose(got, scores)
+
+    # once those header tokens COMMIT, the very next step constrains rows in
+    # both implementations identically (mid-generation arming)
+    ids2 = ids + [8197, 8804 + 2, 8804 + 2]  # 4x4 latent grid
+    scores2 = rs.randn(1, W, V).astype(np.float32)
+    want2 = ref_proc(torch.tensor([ids2]), torch.tensor(scores2.copy())).numpy()
+    st2 = G.update_state(
+        spec, st, jnp.asarray([ids2[len(ids):]], jnp.int32),
+        jnp.asarray([3], jnp.int32),
+    )
+    got2 = np.asarray(G.apply_grammar(spec, st2, jnp.asarray(scores2)))
+    want_mask = np.isfinite(want2) & (want2 > -1e30)
+    got_mask = np.isfinite(got2) & (got2 > -1e30)
+    np.testing.assert_array_equal(got_mask, want_mask)
+    np.testing.assert_allclose(got2[got_mask], want2[want_mask], rtol=1e-6)
