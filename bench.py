@@ -14,11 +14,11 @@ weight-independent.
 Baseline: A100 + PyTorch SJD = 47.13 s / 1115 forwards (BASELINE.md).
 Prints one JSON line; vs_baseline > 1 means faster than the reference.
 
-Default config: W8A8 int8 serving (per-channel weights, dynamic per-token
+Default config: W8A16 int8-weight serving (per-channel int8 weights,
 activations — halves weight HBM reads; 28.6 s = 1.65x the A100 reference) +
 spatial draft init. BENCH_QUANT=0 BENCH_INIT=random reproduces the bf16
 configuration whose numerics match the reference exactly (42.6 s = 1.11x).
-With real checkpoints, validate W8A8 quality (FID) before production use.
+With real checkpoints, validate int8-weight quality (FID) before production use.
 """
 
 import json
@@ -31,7 +31,7 @@ EMU3_BASELINE_S = 512.6  # A100 SJD end-to-end generate (test_emu3.py:177)
 
 def bench_emu3():
     """Secondary benchmark: Emu3-Gen 8B 720p (90x90 grid, ~8.2k tokens).
-    The 8B model only fits a single 16GB chip in W8A8; CFG uses the padded
+    The 8B model only fits a single 16GB chip with int8 weights; CFG uses the padded
     negative-prompt mode. BENCH_MODEL=emu3 selects this path."""
     import jax
     import jax.numpy as jnp
@@ -81,7 +81,7 @@ def bench_emu3():
     print(
         json.dumps(
             {
-                "metric": f"Emu3-Gen 8B {h}x{w} grid ({h*8}px) SJD end-to-end latency (CFG, window 16, int8 W8A8)",
+                "metric": f"Emu3-Gen 8B {h}x{w} grid ({h*8}px) SJD end-to-end latency (CFG, window 16, int8 weights W8A16)",
                 "value": round(latency, 2),
                 "unit": "s",
                 "vs_baseline": round(EMU3_BASELINE_S / latency, 3),
@@ -134,9 +134,9 @@ def main():
 
     quant = bool(int(os.environ.get("BENCH_QUANT", "1")))
     if quant:
-        # W8A8 serving mode: per-channel int8 weights + dynamic per-token
-        # int8 activations on the MXU. Fused with init so bf16 and int8
-        # copies never coexist in HBM.
+        # int8-weight serving mode (W8A16 by default; see DecoderConfig
+        # .act_quant). Fused with init so bf16 and int8 weight copies never
+        # coexist in HBM.
         from sjd_tpu.models.transformer import quantize_weights
 
         params = jax.jit(lambda k: quantize_weights(init_params(k, cfg)))(
@@ -180,7 +180,7 @@ def main():
                 "metric": (
                     f"Lumina-mGPT-7B {target}px SJD end-to-end latency "
                     f"({batch} image{'s' if batch > 1 else ''}, CFG, window {window}"
-                    + (", int8 W8A8" if quant else "")
+                    + (", int8 weights W8A16" if quant else "")
                     + (f", init={init}" if init != "random" else "")
                     + ")"
                 ),

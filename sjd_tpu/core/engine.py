@@ -133,9 +133,12 @@ class SJDEngine:
             and sampling_params.guidance_scale != 1.0
         )
         self.sampling = dataclasses.replace(sampling_params, do_cfg=do_cfg)
-        # debug/ablation switch: False forces every step through the W-wide
-        # shape (the round-1 behavior); greedy output is identical either way
-        self.ar_fast_path = True
+        # Out-of-interval steps CAN take a width-1 forward via lax.cond
+        # (_continue_impl), but measured on v5e the T=1 forward is SLOWER
+        # than the T=16 one (17.1 vs 15.3 ms — partial-tile KV scatters and
+        # skinny matmuls beat the saved FLOPs), so the wide step is the
+        # default; flip for hardware where narrow steps win.
+        self.ar_fast_path = False
         # nfe_cap is a *traced* operand of the while_loop condition: one
         # compile serves every max_steps/resume budget (no per-cap recompile).
         self._generate = jax.jit(self._generate_impl)
@@ -296,7 +299,12 @@ class SJDEngine:
         # An explicit buf_len is honored as given; the padded-length finish
         # guard in _step keeps writes in bounds either way (ADVICE r1).
         L_buf = cfg.resolved_buf_len(P)
+        # round the KV buffer to whole 512-row chunks so the live-prefix
+        # chunked attention path (models/transformer.py:_attend_chunked)
+        # divides exactly; a few extra int8 rows cost ~nothing
         kv_buf = L_buf + W + 1
+        align = 512 if kv_buf > 512 else 8
+        kv_buf = ((kv_buf + align - 1) // align) * align
         S = B * self._S_factor
 
         if cfg.cfg_mode == "neg_prompt" and self.sampling.do_cfg:

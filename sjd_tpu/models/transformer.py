@@ -63,6 +63,25 @@ class DecoderConfig:
     # int8 KV cache with per-(position, head) scales: halves KV memory and
     # decode-step HBM reads (needed to fit 7B + 768px CFG on one v5e chip).
     kv_quant: bool = False
+    # How int8 weights multiply activations:
+    #   "int8" — W8A8: dynamic per-token int8 activations, int8xint8->int32
+    #            on the MXU (one shared quantization per input tensor).
+    #   "bf16" — W8A16: bf16 activations against int8 weights with the
+    #            int8->bf16 convert fused into the MXU operand read; weight
+    #            HBM traffic is identical, no activation-quant chain at all.
+    # Default bf16: measured equal-or-faster than int8 on the v5e decode
+    # step (15.28 vs 15.53 ms/forward, 7B CFG) with strictly better numerics
+    # (no activation quantization error) — decode is bandwidth-bound, so the
+    # MXU's 2x int8 throughput never comes into play at these batch sizes.
+    act_quant: str = "bf16"
+    # Live-prefix chunked (flash-decoding) attention row-chunk size; 0 =
+    # monolithic full-buffer attention. Measured v5e 7B CFG, 2560-row cache,
+    # 1200 live rows: chunked wins for narrow windows (T=1: 14.7 vs 17.1 ms)
+    # but LOSES for the default W=16 step (18.4 vs 15.3 ms — the online-
+    # softmax accumulator rescale traffic scales with T), so monolithic is
+    # the default for the SJD decode; enable for 1-token AR serving or very
+    # long caches.
+    attn_buckets: int = 0
     # "xla" = einsum attention with an explicit mask; "pallas" = the fused
     # VMEM-resident decode kernel (ops/decode_attention.py) that reads the
     # int8 cache directly and never materializes masks or dequantized KV.
@@ -253,28 +272,57 @@ def init_params(rng: jax.Array, cfg: DecoderConfig) -> PyTree:
 # ---------------------------------------------------------------------------
 
 
-def linear(x: jnp.ndarray, w) -> jnp.ndarray:
+def _quantize_act(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic symmetric per-token int8 activation quantization."""
+    xf = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-8)
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def _dot_last(x: jnp.ndarray, w: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    return jax.lax.dot_general(
+        x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=out_dtype,
+    )
+
+
+def linear(x: jnp.ndarray, w, act_quant: str = "int8") -> jnp.ndarray:
     """x [..., in] @ w [out, in] -> [..., out] (torch weight layout).
 
     ``w`` may be a quantized dict {"q": int8 [out, in], "s": f32 [out]}
-    (see quantize_weights): activations are dynamically quantized per token
-    (symmetric int8) and the product runs int8 x int8 -> int32 on the MXU —
-    W8A8 serving mode, halving weight HBM reads vs bf16.
+    (see quantize_weights). act_quant picks the multiply: "int8" quantizes
+    the activations per token and runs int8 x int8 -> int32 on the MXU
+    (W8A8); "bf16" feeds bf16 activations against the int8 weights with the
+    convert fused into the operand read (W8A16) — same weight HBM traffic,
+    no activation-quant chain.
     """
     if isinstance(w, dict):
-        xf = x.astype(jnp.float32)
-        xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-8)
-        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            xq, w["q"], dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        return linear_multi(x, (w,), act_quant)[0]
+    return _dot_last(x, w, x.dtype)
+
+
+def linear_multi(x: jnp.ndarray, ws, act_quant: str = "int8"):
+    """Several projections of the SAME input (qkv, gate/up): the activation
+    quantization chain runs once and is shared across the dots — the chain
+    (fp32 convert, abs-max reduce, scale, round, clip) is a fusion barrier
+    XLA can't sink into the matmuls, so per-layer it's 2 chains instead of 5.
+    """
+    if not isinstance(ws[0], dict):
+        return [_dot_last(x, w, x.dtype) for w in ws]
+    if act_quant == "bf16":
+        outs = []
+        for w in ws:
+            acc = _dot_last(x, w["q"].astype(x.dtype), jnp.float32)
+            outs.append((acc * w["s"].astype(jnp.float32)).astype(x.dtype))
+        return outs
+    xq, xs = _quantize_act(x)
+    outs = []
+    for w in ws:
+        acc = _dot_last(xq, w["q"], jnp.int32)
         y = acc.astype(jnp.float32) * xs * w["s"].astype(jnp.float32)
-        return y.astype(x.dtype)
-    return jax.lax.dot_general(
-        x, w, dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=x.dtype,
-    )
+        outs.append(y.astype(x.dtype))
+    return outs
 
 
 def quantize_weights(params: PyTree, *, quantize_head: bool = True) -> PyTree:
@@ -342,6 +390,28 @@ def write_kv(cache: jnp.ndarray, new: jnp.ndarray, offsets: jnp.ndarray) -> jnp.
     return jax.vmap(upd)(cache, new, offsets)
 
 
+def write_kv_layer(
+    buf: jnp.ndarray,  # [n_layers, S, L_buf, H, D] (or [.., H] for scales)
+    new: jnp.ndarray,  # [S, T, H, D] (or [S, T, H])
+    layer: jnp.ndarray,  # scalar int32
+    offsets: jnp.ndarray,  # [S] per-sample row offsets
+) -> jnp.ndarray:
+    """Scatter a window directly into one layer of the full stacked cache.
+
+    The caches ride the layer-scan *carry* (not xs/ys): scan's stacked-output
+    path double-buffers, costing a full cache copy (~2.6 GB read+write per 7B
+    CFG step); an in-carry scatter writes only the T new rows in place."""
+    if offsets.ndim == 0:
+        offsets = jnp.full((buf.shape[1],), offsets, jnp.int32)
+
+    def upd(c, n, o):  # c: [n_layers, L_buf, H(, D)] (one sample), n: [T, H(, D)]
+        return jax.lax.dynamic_update_slice(
+            c, n[None], (layer, o) + (0,) * (c.ndim - 2)
+        )
+
+    return jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(buf, new, offsets)
+
+
 def _attend(
     q: jnp.ndarray,  # [S, T, H, D]
     k: jnp.ndarray,  # [S, L, Hkv, D]
@@ -395,6 +465,76 @@ def _attend_quantized(
         preferred_element_type=jnp.float32,
     )
     return out.reshape(S, T, H, D).astype(q.dtype)
+
+
+def _attend_chunked(
+    q: jnp.ndarray,  # [S, T, H, D]
+    k: jnp.ndarray,  # [S, L, Hkv, D] (int8 when scales given)
+    v: jnp.ndarray,
+    k_s: Optional[jnp.ndarray],  # [S, L, Hkv] or None
+    v_s: Optional[jnp.ndarray],
+    mask: jnp.ndarray,  # [S, T, L] bool
+    n_live: jnp.ndarray,  # scalar int32 — rows that can be attended at all
+    chunk: int,
+) -> jnp.ndarray:
+    """Flash-decoding over the live cache prefix only.
+
+    The cache buffer is sized for the whole generation, but early steps have
+    few live rows; monolithic attention pays full-buffer HBM reads + score
+    math every step (measured v5e 7B CFG: 15.4 ms/forward at 2496 rows vs
+    12.4 at 640). A fori_loop with a *dynamic trip count* walks 512-row
+    chunks up to the live edge — an online-softmax merge keeps it exact, and
+    dynamic_slice reads only the chunk (a lax.switch over static bucket
+    slices was measured WORSE than monolithic — the conditional copies its
+    big operands)."""
+    S, T, H, D = q.shape
+    L = k.shape[1]
+    Hkv = k.shape[2]
+    group = H // Hkv
+    qg = q.reshape(S, T, Hkv, group, D)
+    n_chunks = (n_live + chunk - 1) // chunk
+    neg = jnp.finfo(jnp.float32).min
+
+    m0 = jnp.full((S, Hkv, group, T), neg, jnp.float32)
+    l0 = jnp.zeros((S, Hkv, group, T), jnp.float32)
+    a0 = jnp.zeros((S, Hkv, group, T, D), jnp.float32)
+
+    def body(c, carry):
+        m, l, acc = carry
+        start = c * chunk
+        kc = jax.lax.dynamic_slice(k, (0, start, 0, 0), (S, chunk, Hkv, D))
+        vc = jax.lax.dynamic_slice(v, (0, start, 0, 0), (S, chunk, Hkv, D))
+        maskc = jax.lax.dynamic_slice(mask, (0, 0, start), (S, T, chunk))
+        s = jnp.einsum(
+            "sthgd,slhd->shgtl", qg, kc.astype(q.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if k_s is not None:
+            ksc = jax.lax.dynamic_slice(k_s, (0, start, 0), (S, chunk, Hkv))
+            s = s * (
+                ksc.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, None, :]
+                / math.sqrt(D)
+            )
+        else:
+            s = s / math.sqrt(D)
+        s = jnp.where(maskc[:, None, None, :, :], s, neg)
+        m2 = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m2[..., None])
+        corr = jnp.exp(m - m2)
+        l2 = l * corr + jnp.sum(p, axis=-1)
+        if v_s is not None:
+            vsc = jax.lax.dynamic_slice(v_s, (0, start, 0), (S, chunk, Hkv))
+            p = p * vsc.astype(jnp.float32).transpose(0, 2, 1)[:, :, None, None, :]
+        pv = jnp.einsum(
+            "shgtl,slhd->sthgd", p.astype(v.dtype if v_s is None else q.dtype),
+            vc.astype(q.dtype), preferred_element_type=jnp.float32,
+        ).transpose(0, 2, 3, 1, 4)  # -> [S, Hkv, group, T, D]
+        acc2 = acc * corr[..., None] + pv
+        return m2, l2, acc2
+
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, a0))
+    out = acc / jnp.maximum(l, 1e-37)[..., None]  # [S, Hkv, group, T, D]
+    return out.transpose(0, 3, 1, 2, 4).reshape(S, T, H, D).astype(q.dtype)
 
 
 def _decode_masks(
@@ -461,17 +601,36 @@ def forward(
     cos, sin = rope[:, :, 0, :], rope[:, :, 1, :]
     mask = _decode_masks(cache_end, valid, T, L_buf)
 
-    def layer(h, xs):
+    # The cache buffers ride the scan CARRY and are updated in place with
+    # row-scatters at (layer, sample, cache_end): threading them through
+    # xs/ys instead makes scan stack fresh per-layer outputs — a full
+    # read+write copy of the multi-GB cache every forward (measured ~3 ms
+    # of pure HBM traffic on the 7B CFG step).
+    scale_end = (
+        jnp.full((S,), cache_end, jnp.int32) if cache_end.ndim == 0 else cache_end
+    )
+
+    # Live-prefix chunked attention (see _attend_chunked / DecoderConfig
+    # .attn_buckets). Falls back to monolithic attention unless the buffer
+    # divides into whole chunks (a single chunk == whole buffer is exact).
+    chunk = min(cfg.attn_buckets, L_buf) if cfg.attn_buckets else 0
+    use_chunked = (
+        chunk > 0 and cfg.attn_impl == "xla" and L_buf % chunk == 0
+    )
+    n_live = jnp.max(scale_end) + T  # live rows + the window being written
+
+    def layer(carry, p):
         if cfg.kv_quant:
-            p, k_cache, v_cache, ks_cache, vs_cache = xs
+            h, i, k_buf, v_buf, ks_buf, vs_buf = carry
         else:
-            p, k_cache, v_cache = xs
-            ks_cache = vs_cache = None
+            h, i, k_buf, v_buf = carry
+            ks_buf = vs_buf = None
 
         def attn_block(x):
-            q = linear(x, p["wq"]).reshape(S, T, cfg.num_heads, cfg.head_dim)
-            k = linear(x, p["wk"]).reshape(S, T, cfg.num_kv_heads, cfg.head_dim)
-            v = linear(x, p["wv"]).reshape(S, T, cfg.num_kv_heads, cfg.head_dim)
+            qp, kp, vp = linear_multi(x, (p["wq"], p["wk"], p["wv"]), cfg.act_quant)
+            q = qp.reshape(S, T, cfg.num_heads, cfg.head_dim)
+            k = kp.reshape(S, T, cfg.num_kv_heads, cfg.head_dim)
+            v = vp.reshape(S, T, cfg.num_kv_heads, cfg.head_dim)
             if cfg.qk_norm:
                 q = head_layer_norm(
                     q, p["q_norm_scale"], p["q_norm_bias"], cfg.qk_norm_eps
@@ -484,19 +643,14 @@ def forward(
             if cfg.kv_quant:
                 kq, kscale = _quantize_rows(k)
                 vq, vscale = _quantize_rows(v)
-                k_all_q = write_kv(k_cache, kq, cache_end)
-                v_all_q = write_kv(v_cache, vq, cache_end)
-                scale_end = (
-                    jnp.full((kscale.shape[0],), cache_end, jnp.int32)
-                    if cache_end.ndim == 0
-                    else cache_end
-                )
-                ks_all = jax.vmap(
-                    lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0))
-                )(ks_cache, kscale, scale_end)
-                vs_all = jax.vmap(
-                    lambda c, n, o: jax.lax.dynamic_update_slice(c, n, (o, 0))
-                )(vs_cache, vscale, scale_end)
+                kb = write_kv_layer(k_buf, kq, i, cache_end)
+                vb = write_kv_layer(v_buf, vq, i, cache_end)
+                ksb = write_kv_layer(ks_buf, kscale, i, scale_end)
+                vsb = write_kv_layer(vs_buf, vscale, i, scale_end)
+                k_all_q = jax.lax.dynamic_index_in_dim(kb, i, 0, keepdims=False)
+                v_all_q = jax.lax.dynamic_index_in_dim(vb, i, 0, keepdims=False)
+                ks_all = jax.lax.dynamic_index_in_dim(ksb, i, 0, keepdims=False)
+                vs_all = jax.lax.dynamic_index_in_dim(vsb, i, 0, keepdims=False)
                 if cfg.attn_impl == "pallas":
                     from ..ops.decode_attention import decode_attention
 
@@ -504,30 +658,40 @@ def forward(
                         q, k_all_q, v_all_q, ks_all, vs_all,
                         cache_end, valid, window=T,
                     )
+                elif use_chunked:
+                    out = _attend_chunked(
+                        q, k_all_q, v_all_q, ks_all, vs_all, mask, n_live, chunk
+                    )
                 else:
                     out = _attend_quantized(
                         q, k_all_q, v_all_q, ks_all, vs_all, mask
                     )
-                caches = (k_all_q, v_all_q, ks_all, vs_all)
+                caches = (kb, vb, ksb, vsb)
             else:
-                k_all = write_kv(k_cache, k, cache_end)
-                v_all = write_kv(v_cache, v, cache_end)
+                kb = write_kv_layer(k_buf, k, i, cache_end)
+                vb = write_kv_layer(v_buf, v, i, cache_end)
+                k_all = jax.lax.dynamic_index_in_dim(kb, i, 0, keepdims=False)
+                v_all = jax.lax.dynamic_index_in_dim(vb, i, 0, keepdims=False)
                 if cfg.attn_impl == "pallas":
                     from ..ops.decode_attention import decode_attention
 
                     out = decode_attention(
                         q, k_all, v_all, None, None, cache_end, valid, window=T
                     )
+                elif use_chunked:
+                    out = _attend_chunked(
+                        q, k_all, v_all, None, None, mask, n_live, chunk
+                    )
                 else:
                     out = _attend(q, k_all, v_all, mask)
-                caches = (k_all, v_all)
-            return linear(out.reshape(S, T, cfg.q_dim), p["wo"]), caches
+                caches = (kb, vb)
+            return linear(out.reshape(S, T, cfg.q_dim), p["wo"], cfg.act_quant), caches
 
         def mlp_block(x):
-            g = linear(x, p["w_gate"])
-            u = linear(x, p["w_up"])
+            g, u = linear_multi(x, (p["w_gate"], p["w_up"]), cfg.act_quant)
             return linear(
-                jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u, p["w_down"]
+                jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
+                p["w_down"], cfg.act_quant,
             )
 
         if cfg.swin_norm:
@@ -539,14 +703,16 @@ def forward(
             a, caches = attn_block(rms_norm(h, p["attn_norm"], cfg.norm_eps))
             h1 = h + a
             h2 = h1 + mlp_block(rms_norm(h1, p["mlp_norm"], cfg.norm_eps))
-        return h2, caches
+        return (h2, i + 1) + caches, None
 
     if cfg.kv_quant:
-        xs = (params["layers"], kv.k, kv.v, kv.k_scale, kv.v_scale)
-        h, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(layer, h, xs)
+        carry0 = (h, jnp.int32(0), kv.k, kv.v, kv.k_scale, kv.v_scale)
+        carry, _ = jax.lax.scan(layer, carry0, params["layers"])
+        h, _, k_new, v_new, ks_new, vs_new = carry
         new_kv = KVCache(k_new, v_new, ks_new, vs_new)
     else:
-        h, (k_new, v_new) = jax.lax.scan(layer, h, (params["layers"], kv.k, kv.v))
+        carry0 = (h, jnp.int32(0), kv.k, kv.v)
+        (h, _, k_new, v_new), _ = jax.lax.scan(layer, carry0, params["layers"])
         new_kv = KVCache(k_new, v_new)
     h = rms_norm(h, params["final_norm"], cfg.norm_eps)
 
@@ -558,7 +724,7 @@ def forward(
             "std,vd->stv", h, params["embed"], preferred_element_type=jnp.float32
         )
     else:
-        logits = linear(h, params["lm_head"])
+        logits = linear(h, params["lm_head"], cfg.act_quant)
     return ForwardResult(logits=logits.astype(jnp.float32), kv=new_kv)
 
 

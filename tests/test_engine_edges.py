@@ -75,3 +75,36 @@ def test_sample_horizon_runs_and_respects_grammar():
     seq = res.tokens[0, 5:5 + 21].tolist()
     assert all(seq[i] == 50 for i in (4, 9, 14, 19)), seq  # eol forced
     assert seq[20] == 49  # eoi at grid end
+
+
+def test_bucketed_attention_matches_full():
+    """attn_buckets (length-limited lax.switch attention) must not change
+    generation — greedy trajectories bit-match the full-buffer path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from sjd_tpu.core import EngineConfig, GrammarSpec, SamplingParams, SJDEngine
+    from sjd_tpu.models import decoder_model_fns, init_params
+
+    from helpers import TINY, tiny_params
+
+    params = tiny_params()
+    outs = {}
+    for buckets in (0, 8):
+        cfg = dataclasses.replace(TINY, attn_buckets=buckets)  # 8 -> multi-chunk
+        model = decoder_model_fns(cfg, max_positions=512)
+        eng = SJDEngine(
+            model,
+            EngineConfig(window=5, scheme="speculative_jacobi", max_len=30),
+            # max_len 30, W 5, P 3 -> kv_buf rounds to a multiple of 8, so
+            # attn_buckets=8 exercises the MULTI-chunk flash-decode path
+            GrammarSpec(kind="none", image_vocab_start=0, image_vocab_end=63),
+            SamplingParams(do_cfg=False, greedy=True, image_top_k=64,
+                           text_top_k=64),
+        )
+        res = eng.generate(params, jax.random.PRNGKey(3),
+                           jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32))
+        outs[buckets] = np.asarray(res.tokens)
+    np.testing.assert_array_equal(outs[0], outs[8])
