@@ -1,20 +1,25 @@
 """Pallas TPU kernel: fused SJD windowed-decode attention over the static KV
-cache (SURVEY.md §7 kernel (a)).
+cache (SURVEY.md §7 kernel (a)), flash-decoding formulation.
 
-One kernel instance handles one (sample, kv-head) pair and computes, fully in
-VMEM:
-  * int8 KV dequantization (per-row scales) — the dequantized cache never
-    touches HBM;
-  * the prefix + window-causal + CFG-valid mask as index arithmetic — the
-    reference materializes a growing [W, L] rectangular mask in memory every
-    step (jacobi_iteration_lumina_mgpt.py:816-846); here it is never
-    materialized at all;
-  * fp32 softmax and the PV product.
+Design (v2 — the round-1 kernel lost to XLA because it relayouted the whole
+cache head-major in HBM before every call; this one reads the cache in its
+NATIVE [S, L, Hkv, D] row-major layout):
 
-Shapes are draft-window sized: q [S, W*G, D] per kv-head (W<=32 window, G =
-query-group size), K/V [L_buf, D] rows. Even Emu3's 8.3k-row cache fits VMEM
-as int8 (~1 MB), so a single-shot softmax suffices — no online/flash pass,
-which only pays off when K can't be resident.
+  * grid (S, L/chunk) with the chunk axis innermost/sequential; one grid step
+    DMAs one contiguous [chunk, Hkv, D] block of K and V (int8), their
+    per-row scales, and the validity slice;
+  * online-softmax state (m, l, acc) lives in VMEM scratch across chunk
+    steps — the accumulator rescale that made the XLA chunked path lose at
+    W=16 (18.4 vs 15.3 ms) never touches HBM here;
+  * chunks past the live edge (cache_end + window) are skipped: the compute
+    is guarded by pl.when and the BlockSpec index_map clamps their block
+    index to the last live chunk, so the pipeline re-uses the resident block
+    instead of issuing a new DMA — per-step HBM traffic scales with the live
+    prefix, not the buffer;
+  * int8 KV dequantization (per-row scales) happens in VMEM; the prefix +
+    window-causal + CFG-valid mask is pure index arithmetic (the reference
+    materializes a growing [W, L] mask every step,
+    jacobi_iteration_lumina_mgpt.py:816-846).
 """
 
 from __future__ import annotations
@@ -30,65 +35,85 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def _decode_attn_kernel(
+def _flash_decode_kernel(
     cache_end_ref,  # SMEM [S] int32 (scalar prefetch)
-    q_ref,  # [1, 1, GW, D] compute dtype
-    k_ref,  # [1, 1, L, D] int8 or compute dtype
-    v_ref,  # [1, 1, L, D]
-    ks_ref,  # [1, 1, L, 1] bf16 (ones when not quantized)
-    vs_ref,  # [1, 1, L, 1] bf16
-    valid_ref,  # [1, 1, L] int8
-    o_ref,  # [1, 1, GW, D]
+    q_ref,  # [1, Hkv, GW, D]
+    k_ref,  # [1, C, Hkv, D] int8 or compute dtype
+    v_ref,
+    ks_ref,  # [1, C, Hkv] bf16 (ones when not quantized)
+    vs_ref,
+    valid_ref,  # [1, C, 1] int8
+    o_ref,  # [1, Hkv, GW, D]
+    m_ref,  # scratch [Hkv, GW] f32
+    l_ref,  # scratch [Hkv, GW] f32
+    acc_ref,  # scratch [Hkv, GW, D] f32
     *,
-    window: int,
+    chunk: int,
     group: int,
-    quantized: bool,
+    n_chunks: int,
 ):
     s = pl.program_id(0)
+    c = pl.program_id(1)
     cache_end = cache_end_ref[s]
+    Hkv, GW, D = q_ref.shape[1:]
 
-    q = q_ref[0, 0, :, :]  # [GW, D]
-    GW, D = q.shape
-    L = k_ref.shape[2]
+    @pl.when(c == 0)
+    def _init():
+        m_ref[...] = jnp.full((Hkv, GW), NEG_INF, jnp.float32)
+        l_ref[...] = jnp.zeros((Hkv, GW), jnp.float32)
+        acc_ref[...] = jnp.zeros((Hkv, GW, D), jnp.float32)
 
-    k = k_ref[0, 0, :, :]
-    v = v_ref[0, 0, :, :]
-    if quantized:
-        k = k.astype(jnp.float32) * ks_ref[0, 0, :, :].astype(jnp.float32)
-        v = v.astype(jnp.float32) * vs_ref[0, 0, :, :].astype(jnp.float32)
-    else:
-        k = k.astype(jnp.float32)
-        v = v.astype(jnp.float32)
+    # rows live in [0, cache_end + GW/group): the window is written at
+    # cache_end before attention, so the last live chunk index is
+    # (cache_end + window - 1) // chunk
+    window = GW // group
+    live = c * chunk < cache_end + window
 
-    scores = jax.lax.dot_general(
-        q.astype(jnp.float32),
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * (1.0 / math.sqrt(D))  # [GW, L]
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # [Hkv, GW, D]
+        k = k_ref[0].astype(jnp.float32)  # [C, Hkv, D]
+        v = v_ref[0].astype(jnp.float32)
+        ks = ks_ref[0].astype(jnp.float32)  # [C, Hkv]
+        vs = vs_ref[0].astype(jnp.float32)
 
-    # rows are laid out [window, group]: query row r belongs to window slot
-    # r // group. allowed(j) = j <= cache_end + w_idx and valid[j]
-    row = jax.lax.broadcasted_iota(jnp.int32, (GW, L), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (GW, L), 1)
-    w_idx = row // group
-    causal = col <= cache_end + w_idx
-    ok = valid_ref[0, 0, :].astype(jnp.int32)[None, :] > 0
-    scores = jnp.where(causal & ok, scores, NEG_INF)
+        # batched per-head dot: [Hkv, GW, D] x [Hkv, C, D] -> [Hkv, GW, C]
+        kh = k.transpose(1, 0, 2)
+        s_hgc = jax.lax.dot_general(
+            q, kh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s_hgc = s_hgc * (ks.T[:, None, :] / math.sqrt(D))
 
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    out = jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) / denom
-    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+        col = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (Hkv, GW, chunk), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (Hkv, GW, chunk), 1)
+        causal = col <= cache_end + row // group
+        ok = valid_ref[0, :, 0].astype(jnp.int32)[None, None, :] > 0
+        s_hgc = jnp.where(causal & ok, s_hgc, NEG_INF)
+
+        m_prev, l_prev = m_ref[...], l_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s_hgc, axis=-1))
+        p = jnp.exp(s_hgc - m_new[..., None])
+        corr = jnp.exp(m_prev - m_new)
+        l_ref[...] = l_prev * corr + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(
+            p * vs.T[:, None, :], v.transpose(1, 0, 2),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [Hkv, GW, D]
+        acc_ref[...] = acc_ref[...] * corr[..., None] + pv
+        m_ref[...] = m_new
+
+    @pl.when(c == n_chunks - 1)
+    def _finalize():
+        denom = jnp.maximum(l_ref[...], 1e-37)[..., None]
+        o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "interpret"),
+    static_argnames=("window", "chunk", "interpret"),
 )
 def decode_attention(
     q: jnp.ndarray,  # [S, W, H, D]
@@ -100,6 +125,7 @@ def decode_attention(
     valid: jnp.ndarray,  # [S, L] bool
     *,
     window: int,
+    chunk: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     S, W, H, D = q.shape
@@ -107,60 +133,63 @@ def decode_attention(
         cache_end = jnp.full((S,), cache_end, jnp.int32)
     L, Hkv = k_cache.shape[1], k_cache.shape[2]
     group = H // Hkv
-    quantized = k_cache.dtype == jnp.int8
-    # kernel blocks want head-major [S, Hkv, L, D]; this transpose is why the
-    # kernel is an experimental non-default (attention is not the decode
-    # bottleneck on v5e — see DecoderConfig.attn_impl)
-    k_cache = k_cache.transpose(0, 2, 1, 3)
-    v_cache = v_cache.transpose(0, 2, 1, 3)
-    if k_scale is not None:
-        k_scale = k_scale.transpose(0, 2, 1)
-        v_scale = v_scale.transpose(0, 2, 1)
+    chunk = min(chunk, L)
+    if L % chunk:
+        # fall back to the largest power-of-two chunk that divides L, or a
+        # single whole-buffer chunk (always exact)
+        chunk = next((c for c in (512, 256, 128, 64) if c < L and L % c == 0), L)
+    n_chunks = L // chunk
 
-    # [S, W, H, D] -> [S, Hkv, W*G, D] with row r = w*group + g
+    # [S, W, H, D] -> [S, Hkv, W*G, D] with row r = w*group + g (tiny relayout
+    # of the window only; the CACHE is consumed in its native layout)
     qh = q.reshape(S, W, Hkv, group, D).transpose(0, 2, 1, 3, 4)
     qh = qh.reshape(S, Hkv, W * group, D)
 
     if k_scale is None:
-        k_scale = jnp.ones((S, Hkv, L), jnp.bfloat16)
-        v_scale = jnp.ones((S, Hkv, L), jnp.bfloat16)
+        k_scale = jnp.ones((S, L, Hkv), jnp.bfloat16)
+        v_scale = jnp.ones((S, L, Hkv), jnp.bfloat16)
+
+    def chunk_map(s, c, ce):
+        # clamp dead chunks to the last live one: same block index ->
+        # the pipeline skips the DMA re-fetch
+        last_live = jnp.maximum((ce[s] + window - 1) // chunk, 0)
+        return (s, jnp.minimum(c, last_live), 0, 0)
+
+    def chunk_map3(s, c, ce):
+        last_live = jnp.maximum((ce[s] + window - 1) // chunk, 0)
+        return (s, jnp.minimum(c, last_live), 0)
+
+    def chunk_map2(s, c, ce):
+        last_live = jnp.maximum((ce[s] + window - 1) // chunk, 0)
+        return (s, jnp.minimum(c, last_live), 0)
 
     out = pl.pallas_call(
         functools.partial(
-            _decode_attn_kernel, window=window, group=group, quantized=quantized
+            _flash_decode_kernel, chunk=chunk, group=group, n_chunks=n_chunks
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(S, Hkv),
+            grid=(S, n_chunks),
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, W * group, D), lambda s, h, ce: (s, h, 0, 0),
+                    (1, Hkv, W * group, D), lambda s, c, ce: (s, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(
-                    (1, 1, L, D), lambda s, h, ce: (s, h, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, L, D), lambda s, h, ce: (s, h, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, L, 1), lambda s, h, ce: (s, h, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, L, 1), lambda s, h, ce: (s, h, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, L), lambda s, h, ce: (s, 0, 0), memory_space=pltpu.VMEM
-                ),
+                pl.BlockSpec((1, chunk, Hkv, D), chunk_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chunk, Hkv, D), chunk_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chunk, Hkv), chunk_map3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chunk, Hkv), chunk_map3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chunk, 1), chunk_map2, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, W * group, D), lambda s, h, ce: (s, h, 0, 0),
+                (1, Hkv, W * group, D), lambda s, c, ce: (s, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, W * group), jnp.float32),
+                pltpu.VMEM((Hkv, W * group), jnp.float32),
+                pltpu.VMEM((Hkv, W * group, D), jnp.float32),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((S, Hkv, W * group, D), q.dtype),
         interpret=interpret,
@@ -169,9 +198,9 @@ def decode_attention(
         qh,
         k_cache,
         v_cache,
-        k_scale[..., None],
-        v_scale[..., None],
-        valid.astype(jnp.int8)[:, None, :],
+        k_scale,
+        v_scale,
+        valid.astype(jnp.int8)[:, :, None],
     )
     # [S, Hkv, W*G, D] -> [S, W, H, D]
     out = out.reshape(S, Hkv, W, group, D).transpose(0, 2, 1, 3, 4)

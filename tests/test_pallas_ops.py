@@ -61,3 +61,22 @@ def test_decode_attention_int8_close_to_fp():
                            window=W, interpret=True)
     want = _reference_attn(q, k, v, cache_end, valid, W)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0.05, atol=0.05)
+
+
+def test_decode_attention_multichunk_matches_reference():
+    """Multi-chunk flash path with a live edge mid-buffer: online-softmax
+    merge + dead-chunk skipping must still be exact."""
+    S, W, H, Hkv, D, L = 2, 4, 8, 2, 8, 64
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (S, W, H, D), jnp.float32)
+    k = jax.random.normal(kk, (S, L, Hkv, D), jnp.float32)
+    v = jax.random.normal(kv_, (S, L, Hkv, D), jnp.float32)
+    cache_end = jnp.asarray([9, 37], jnp.int32)  # live edges inside chunks
+    valid = jnp.ones((S, L), bool).at[0, :3].set(False)
+
+    got = decode_attention(q, k, v, None, None, cache_end, valid,
+                           window=W, chunk=16, interpret=True)
+    want = _reference_attn(q, k, v, cache_end, valid, W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
