@@ -19,3 +19,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+_ORACLE_FILES = (
+    "_vs_reference", "test_port_parity", "test_vq.py", "test_emu3_vq",
+    "test_vq_train", "test_emu3_tokenizer", "test_vocab_translation",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-mark reference/torch oracle parity tests so day-to-day iteration
+    can skip them: `pytest -m "not oracle"` (~half the suite wall time)."""
+    for item in items:
+        path = str(item.fspath)
+        if any(k in path for k in _ORACLE_FILES):
+            item.add_marker(pytest.mark.oracle)
