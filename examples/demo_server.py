@@ -8,6 +8,13 @@ queue (exactly the survey's note: "single JAX process per host; queue at the
 Python layer"). Serves a minimal HTTP API:
 
   POST /generate {"prompt": "...", "seed": 42}  -> PNG bytes
+  POST /generate_i2i {"prompt": "edit <|image|> ...",
+                      "images": [<base64 PNG>...], "seed": 42} -> PNG bytes
+                     (demo_image2image.py equivalent; lumina only)
+  POST /freeform {"qas": [["describe <|image|>", "a cat"],
+                          ["now redraw it", null]],
+                  "images": [<base64 PNG>...], "seed": 42} -> PNG bytes
+                 (demo_freeform.py equivalent; lumina only)
   GET  /health                                   -> {"status": "ok", ...}
 
 Run: python examples/demo_server.py --port 7860 [--ckpt-dir ... --vq-ckpt ...]
@@ -29,26 +36,26 @@ class ModelWorker(threading.Thread):
     """Single worker owning the TPU; requests are serialized through a queue
     (the reference's request/response mp.Queue pair, but in-process)."""
 
-    def __init__(self, sample_fn):
+    def __init__(self, dispatch):
         super().__init__(daemon=True)
-        self.sample_fn = sample_fn
+        self.dispatch = dispatch  # dispatch(kind, request_dict) -> PIL.Image
         self.requests: queue.Queue = queue.Queue()
         self.ready = threading.Event()
 
     def run(self):
         self.ready.set()
         while True:
-            prompt, seed, reply = self.requests.get()
+            kind, req, reply = self.requests.get()
             try:
                 t0 = time.time()
-                img = self.sample_fn(prompt, seed)
+                img = self.dispatch(kind, req)
                 reply.put(("ok", img, time.time() - t0))
             except Exception as e:  # noqa: BLE001
                 reply.put(("error", str(e), 0.0))
 
-    def generate(self, prompt: str, seed: int):
+    def generate(self, kind: str, req: dict):
         reply: queue.Queue = queue.Queue()
-        self.requests.put((prompt, seed, reply))
+        self.requests.put((kind, req, reply))
         return reply.get()
 
 
@@ -69,15 +76,15 @@ def make_handler(worker: ModelWorker, stats: dict):
                 self.end_headers()
 
         def do_POST(self):
-            if self.path != "/generate":
+            routes = {"/generate": "t2i", "/generate_i2i": "i2i",
+                      "/freeform": "freeform"}
+            if self.path not in routes:
                 self.send_response(404)
                 self.end_headers()
                 return
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n) or b"{}")
-            status, img, dt = worker.generate(
-                req.get("prompt", ""), int(req.get("seed", 42))
-            )
+            status, img, dt = worker.generate(routes[self.path], req)
             if status != "ok":
                 self.send_response(500)
                 self.send_header("Content-Type", "application/json")
@@ -118,10 +125,31 @@ def main():
                       name=args.gpt_model, latent_size=args.latent_size)
     model = load_pretrained_model(args.model, **kwargs)
 
-    def sample(prompt, seed):
-        return model.sample_fn(prompt, seed)
+    def _decode_images(req):
+        import base64
 
-    worker = ModelWorker(sample)
+        import numpy as np
+        from PIL import Image
+
+        out = []
+        for b64 in req.get("images", []):
+            img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+            out.append(np.asarray(img, np.float32) / 127.5 - 1.0)
+        return out
+
+    def dispatch(kind, req):
+        seed = int(req.get("seed", 42))
+        if kind == "t2i":
+            return model.sample_fn(req.get("prompt", ""), seed)
+        if kind == "i2i":
+            fn = model.extras.get("sample_i2i_fn")
+            assert fn is not None, f"{model.name} has no image-input path"
+            return fn(req.get("prompt", ""), _decode_images(req), seed)
+        fn = model.extras.get("sample_freeform_fn")
+        assert fn is not None, f"{model.name} has no freeform path"
+        return fn(req.get("qas", []), _decode_images(req), seed)
+
+    worker = ModelWorker(dispatch)
     worker.start()
     worker.ready.wait()
 

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--max-prompts", type=int, default=0)
     ap.add_argument("--fid-reference-dir", default=None)
+    ap.add_argument("--smoke-extractor", action="store_true",
+                    help="score with checkpoint-free pixel-statistic "
+                         "extractors (pipeline smoke only — NOT comparable "
+                         "to Inception-FID)")
     args = ap.parse_args()
 
     from sjd_tpu.eval import create_dataset, run_prompt_set, shard_prompts, workdir_name
@@ -96,7 +100,18 @@ def main():
     if args.fid_reference_dir:
         from sjd_tpu.eval import evaluate_quantitative_scores
 
-        scores = evaluate_quantitative_scores(workdir, args.fid_reference_dir)
+        kw = {}
+        if args.smoke_extractor:
+            from sjd_tpu.eval.metrics import (
+                make_pixel_extractor,
+                make_pixel_probs,
+            )
+
+            kw = dict(feature_fn=make_pixel_extractor(),
+                      probs_fn=make_pixel_probs())
+        scores = evaluate_quantitative_scores(
+            workdir, args.fid_reference_dir, **kw
+        )
         print(json.dumps(scores))
 
 

@@ -46,6 +46,7 @@ def inception_score(
     """IS from class probabilities [N, C] (Salimans et al. 2016)."""
     scores = []
     n = probs.shape[0]
+    splits = max(1, min(splits, n))  # avoid empty splits on small sets
     for part in np.array_split(probs, splits):
         py = part.mean(0, keepdims=True)
         kl = part * (np.log(part + 1e-12) - np.log(py + 1e-12))
@@ -154,6 +155,44 @@ def evaluate_clip_score(generated_dir: str, prompts, model_dir: str) -> float:
     image_embeds, text_embeds = make_clip_extractor(model_dir)
     imgs = load_image_dir(generated_dir, size=224)
     return clip_score(image_embeds(imgs), text_embeds(list(prompts)))
+
+
+def make_pixel_extractor(pool: int = 8):
+    """Checkpoint-free smoke extractor: mean-pooled pixel statistics as the
+    'feature' vector. NOT comparable to Inception-FID numbers — it exists so
+    the full Parti/COCO scoring pipeline (generate -> shard -> FID/IS math)
+    can be driven end-to-end in environments without torchvision weights
+    (documented smoke path; pass feature_fn=make_inception_extractor() or a
+    CLIP/Inception port for real quality numbers)."""
+
+    def extract(images: np.ndarray) -> np.ndarray:
+        n, h, w, c = images.shape
+        ph, pw = h // pool, w // pool
+        x = images[:, : ph * pool, : pw * pool, :]
+        x = x.reshape(n, pool, ph, pool, pw, c).mean(axis=(2, 4))
+        return x.reshape(n, -1).astype(np.float64)
+
+    return extract
+
+
+def make_pixel_probs(n_classes: int = 16):
+    """Smoke 'classifier' for the IS formula: softmax over coarse color
+    histograms. Same caveat as make_pixel_extractor."""
+
+    def probs(images: np.ndarray) -> np.ndarray:
+        n = images.shape[0]
+        feats = images.reshape(n, -1, 3).mean(axis=1).astype(np.float64)
+        feats = (feats - feats.mean(0)) / (feats.std(0) + 1e-6)
+        logits = np.concatenate(
+            [np.outer(np.tanh(feats[:, k]), np.arange(1, n_classes // 3 + 1))
+             for k in range(3)]
+            + [np.zeros((n, n_classes - 3 * (n_classes // 3)))],
+            axis=1,
+        )
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True)
+
+    return probs
 
 
 def evaluate_quantitative_scores(

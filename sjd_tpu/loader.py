@@ -176,20 +176,26 @@ def load_lumina_mgpt(
         ids = ids + [IMAGE_START_ID, size_token_id(target_size), size_token_id(target_size)]
         return _decode_last_image(_generate_from_ids(ids, rng_seed))
 
-    def sample_i2i_fn(prompt: str, images, rng_seed: Optional[int] = None):
-        """Image-conditioned generation (image2image / freeform): the prompt
-        may contain <|image|> placeholders consumed from ``images`` in order
+    def sample_freeform_fn(qas, images=(), rng_seed: Optional[int] = None):
+        """Multi-turn conversation generation (demo_freeform.py): qas is a
+        list of [question, answer-or-None] turns whose text may contain
+        <|image|> placeholders consumed from ``images`` in order
         (inference_solver.generate images=[...], reference :299-353)."""
         assert item_proc is not None, "image-input prompting needs a tokenizer"
-        ids = item_proc.multimodal_prompt_ids([[prompt, None]], images)
+        ids = item_proc.multimodal_prompt_ids(qas, images)
         ids = ids + [IMAGE_START_ID, size_token_id(target_size), size_token_id(target_size)]
         return _decode_last_image(_generate_from_ids(ids, rng_seed))
+
+    def sample_i2i_fn(prompt: str, images, rng_seed: Optional[int] = None):
+        """Single-turn image-conditioned generation (demo_image2image.py)."""
+        return sample_freeform_fn([[prompt, None]], images, rng_seed)
 
     return LoadedModel(
         name="lumina_mgpt", engine=eng, params=params, sample_fn=sample_fn,
         extras={"vq_params": vq_params, "vq_cfg": vq_cfg, "nfe": None,
                 "mapping": mapping, "item_processor": item_proc,
-                "sample_i2i_fn": sample_i2i_fn},
+                "sample_i2i_fn": sample_i2i_fn,
+                "sample_freeform_fn": sample_freeform_fn},
     )
 
 

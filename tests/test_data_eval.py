@@ -106,3 +106,59 @@ def test_workdir_name_deterministic():
     a = workdir_name("lumina", cfg=3.0, window=16)
     b = workdir_name("lumina", window=16, cfg=3.0)
     assert a == b and "lumina" in a
+
+
+def test_smoke_extractors_score_pipeline(tmp_path):
+    """Checkpoint-free pixel extractors drive the full FID/IS math: FID of a
+    directory against itself is ~0 and IS is finite on tiny sets (the
+    documented eval_model.py --smoke-extractor path)."""
+    import numpy as np
+    from PIL import Image
+
+    from sjd_tpu.eval.metrics import (
+        evaluate_quantitative_scores,
+        make_pixel_extractor,
+        make_pixel_probs,
+    )
+
+    rs = np.random.RandomState(0)
+    d = tmp_path / "gen"
+    d.mkdir()
+    for i in range(4):
+        arr = (rs.rand(32, 32, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{i}.png")
+
+    s = evaluate_quantitative_scores(
+        str(d), str(d), feature_fn=make_pixel_extractor(),
+        probs_fn=make_pixel_probs(),
+    )
+    assert s["n_images"] == 4
+    assert abs(s["fid"]) < 1e-4
+    assert np.isfinite(s["inception_score"])
+
+
+def test_demo_server_dispatch_routes():
+    """The model-worker dispatch serves t2i / i2i / freeform through the
+    loader extras (demo_image2image.py / demo_freeform.py parity)."""
+    import importlib.util
+    import sys as _sys
+
+    spec = importlib.util.spec_from_file_location(
+        "demo_server", "examples/demo_server.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    calls = []
+
+    def dispatch(kind, req):
+        calls.append((kind, tuple(sorted(req))))
+        return f"img:{kind}"
+
+    w = mod.ModelWorker(dispatch)
+    w.start()
+    w.ready.wait()
+    assert w.generate("t2i", {"prompt": "x"})[:2] == ("ok", "img:t2i")
+    assert w.generate("i2i", {"prompt": "x", "images": []})[1] == "img:i2i"
+    assert w.generate("freeform", {"qas": []})[1] == "img:freeform"
+    assert [k for k, _ in calls] == ["t2i", "i2i", "freeform"]
