@@ -10,7 +10,7 @@ and decoding extracts the visual-token grid between the image header and
 from __future__ import annotations
 
 import math
-from typing import Callable, List, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
@@ -48,6 +48,55 @@ def build_gen_prompt(
     `tokenize` encodes the "{H}*{W}" size string with the Emu3 text
     tokenizer."""
     return [BOS_ID, *text_ids, BOI_ID, *tokenize(f"{h}*{w}"), IMG_ID]
+
+
+# Emu3Processor chat template for understanding mode (processing_emu3.py:66)
+CHAT_PRE = "You are a helpful assistant. USER: "
+CHAT_POST = ". ASSISTANT:"
+
+
+def image_ids_from_grid(
+    grid: np.ndarray, *, eol_id: int = EOL_ID, visual_start: int = VISUAL_START
+) -> List[int]:
+    """[h, w] codebook ids -> visual-token ids with <eol> after every row
+    (to_imgstr joins rows with eol and one more eol is appended,
+    processing_emu3.py:157-166)."""
+    out: List[int] = []
+    for row in np.asarray(grid, np.int64):
+        out.extend(int(c) + visual_start for c in row)
+        out.append(eol_id)
+    return out
+
+
+def build_understanding_prompt(
+    text: str,
+    grid: np.ndarray,  # [h, w] VQ codebook ids of the input image
+    tokenize: Callable[[str], Sequence[int]],
+    *,
+    special: Optional[dict] = None,  # override ids (tests with toy vocabs)
+) -> List[int]:
+    """Prompt ids for image understanding — mode='U' of the reference
+    processor (processing_emu3.py:152-175): bos + chat prefix + <boi> +
+    "{H}*{W}" + <img> + visual tokens (eol per row) + <eof> <eoi> + text +
+    ". ASSISTANT:". Pieces are tokenized separately only across special-token
+    boundaries (atomic in the BPE), so ids match whole-string tokenization.
+    """
+    s = special or dict(
+        bos=BOS_ID, boi=BOI_ID, img=IMG_ID, eol=EOL_ID, eof=EOF_ID,
+        eoi=EOI_ID, visual_start=VISUAL_START,
+    )
+    h, w = grid.shape
+    return [
+        s["bos"],
+        *tokenize(CHAT_PRE),
+        s["boi"],
+        *tokenize(f"{h}*{w}"),
+        s["img"],
+        *image_ids_from_grid(grid, eol_id=s["eol"], visual_start=s["visual_start"]),
+        s["eof"],
+        s["eoi"],
+        *tokenize(text + CHAT_POST),
+    ]
 
 
 def visual_id_to_codebook(tok: int) -> int:

@@ -27,12 +27,21 @@ _ORACLE_FILES = (
     "_vs_reference", "test_port_parity", "test_vq.py", "test_emu3_vq",
     "test_vq_train", "test_emu3_tokenizer", "test_vocab_translation",
 )
+# these additionally import the reference repo itself (read-only oracle)
+_NEEDS_REFERENCE = ("_vs_reference", "test_emu3_tokenizer", "test_vocab_translation")
 
 
 def pytest_collection_modifyitems(config, items):
     """Auto-mark reference/torch oracle parity tests so day-to-day iteration
-    can skip them: `pytest -m "not oracle"` (~half the suite wall time)."""
+    can skip them: `pytest -m "not oracle"` (~half the suite wall time).
+    Tests importing the reference checkout skip cleanly when it is absent
+    (e.g. public CI)."""
+    have_ref = os.path.isdir("/root/reference")
     for item in items:
         path = str(item.fspath)
         if any(k in path for k in _ORACLE_FILES):
             item.add_marker(pytest.mark.oracle)
+        if not have_ref and any(k in path for k in _NEEDS_REFERENCE):
+            item.add_marker(
+                pytest.mark.skip(reason="reference checkout not present")
+            )

@@ -147,3 +147,43 @@ def test_load_emu3_default_negative_prompt(vocab_files, monkeypatch):
         tok.encode(DEFAULT_NEGATIVE_PROMPT), 4, 4, tok.encode)
     assert captured["pos"] == want_pos
     assert captured["neg"] == want_neg
+
+
+def test_understanding_prompt_matches_whole_string_tokenization(vocab_files):
+    """build_understanding_prompt assembles ids piecewise; the reference
+    builds ONE string (chat template + to_imgstr) and tokenizes it whole
+    (processing_emu3.py:152-181). Both must agree — the piecewise splits sit
+    only on atomic special-token boundaries."""
+    import numpy as np
+
+    from sjd_tpu.data.emu3_processor import (
+        CHAT_POST,
+        CHAT_PRE,
+        build_understanding_prompt,
+    )
+
+    tok = Emu3Tokenizer(*vocab_files)
+    grid = np.asarray([[3, 1], [0, 7]], np.int32)
+
+    # the reference's string construction (to_imgstr + template)
+    imgstr = tok.eol_token.join(
+        "".join(f"<|visual token {c:0>6d}|>" for c in row) for row in grid
+    )
+    image_prompt = (
+        tok.boi_token + "2*2" + tok.img_token + imgstr
+        + tok.eol_token + tok.eof_token + tok.eoi_token
+    )
+    text_prompt = "what is this"
+    whole = tok.bos_token + (
+        CHAT_PRE + image_prompt + text_prompt + CHAT_POST
+    )
+    want = tok.encode(whole)
+
+    vis0 = tok.token_to_id("<|visual token 000000|>")
+    got = build_understanding_prompt(
+        text_prompt, grid, tok.encode,
+        special=dict(bos=tok.bos_id, boi=tok.boi_id, img=tok.img_id,
+                     eol=tok.eol_id, eof=tok.eof_id, eoi=tok.eoi_id,
+                     visual_start=vis0),
+    )
+    assert got == want
