@@ -86,6 +86,63 @@ def process_window_logits(
     return jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
 
 
+def decompose_window_sequential(
+    rng: jax.Array,
+    scores: jnp.ndarray,  # [B, W, V] fp32 window logits
+    spec: grammar_lib.GrammarSpec,
+    gstate: grammar_lib.GrammarState,
+    params: SamplingParams,
+    *,
+    fix_logits: bool = True,
+):
+    """Sequential window decomposition — the reference's
+    SequenceSegmentDecomposer (scheduler/logit_processor_3dim.py:457-511):
+    each window row is processed with the grammar state advanced by the
+    tokens SAMPLED at earlier rows (not the drafts), so an <image_start> or
+    size token sampled mid-window constrains later rows in the same step.
+    With fix_logits the row's scores collapse to a one-hot at the sampled
+    token (the reference's scatter of 0 over -inf).
+
+    The reference never enables this path (its call site is commented out,
+    jacobi_iteration_emu3.py:403-410); it is provided for API completeness
+    as a lax.scan over window rows and is NOT used by the engine's default
+    parallel pipeline. Returns (processed scores/probs [B, W, V],
+    sampled tokens [B, W])."""
+    B, W, V = scores.shape
+
+    def step(carry, row_scores):  # row_scores: [B, V]
+        g, r = carry
+        s = grammar_lib.apply_grammar_single(
+            spec, g, row_scores, jnp.zeros((B,), jnp.int32)
+        )
+        s = sampling.top_k_dual(
+            s[:, None, :], g.in_image, params.image_top_k, params.text_top_k
+        )[:, 0, :]
+        if params.top_p is not None and params.top_p < 1.0:
+            s = sampling.top_p(s, params.top_p)
+        r, r_tok = jax.random.split(r)
+        if params.greedy:
+            tok = jnp.argmax(s, axis=-1).astype(jnp.int32)
+        else:
+            tok = sampling.sample_from_logits(r_tok, s)
+        out = (
+            jnp.where(
+                jax.nn.one_hot(tok, V, dtype=bool), 0.0, grammar_lib.NEG_INF
+            )
+            if fix_logits
+            else s
+        )
+        g = grammar_lib.update_state(
+            spec, g, tok[:, None], jnp.ones((B,), jnp.int32)
+        )
+        return (g, r), (out, tok)
+
+    (_, _), (outs, toks) = jax.lax.scan(
+        step, (gstate, rng), scores.transpose(1, 0, 2)
+    )
+    return outs.transpose(1, 0, 2), toks.T
+
+
 def process_residual_logits(
     residual_logits: jnp.ndarray,  # [B, V] — log(max(0, p_new - p_draft))
     spec: grammar_lib.GrammarSpec,

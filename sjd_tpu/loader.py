@@ -284,10 +284,47 @@ def load_emu3(
         pixels = emu3_decode(vq_params, vq_cfg, jnp.asarray(grid[None]))
         return _to_pil(np.asarray(pixels[0]))
 
+    def understand_fn(question: str, image, rng_seed: int = 42,
+                      max_new_tokens: int = 256):
+        """Image understanding (mode='U'): pixels -> Emu3VisionVQ tokens ->
+        chat prompt (build_understanding_prompt) -> plain AR/SJD text answer.
+        No CFG, no image grammar (the reference runs vanilla generate for
+        'U'; processing_emu3.py:152-175). Returns generated token ids
+        (decode with the tokenizer)."""
+        assert tokenizer is not None, "understanding mode needs the tokenizer"
+        assert vq_params is not None, "understanding mode needs the VQ"
+        from sjd_tpu.data.emu3_processor import build_understanding_prompt
+        from sjd_tpu.models.emu3 import EOS_ID
+        from sjd_tpu.models.vq.emu3_vq import encode as emu3_encode
+
+        arr = np.asarray(image, np.float32)
+        grid = np.asarray(
+            emu3_encode(vq_params, vq_cfg, jnp.asarray(arr[None]))[0], np.int32
+        )
+        ids = build_understanding_prompt(question, grid,
+                                         lambda s: list(tokenizer.encode(s)))
+        import dataclasses as _dc
+
+        from sjd_tpu.core.engine import EngineConfig, SJDEngine
+        from sjd_tpu.core.grammar import GrammarSpec
+        from sjd_tpu.core.processors import SamplingParams
+
+        u_eng = SJDEngine(
+            eng.model,
+            _dc.replace(eng.config, cfg_mode="none",
+                        max_len=len(ids) + max_new_tokens, eos_id=EOS_ID),
+            GrammarSpec(kind="none"),
+            SamplingParams(do_cfg=False, image_top_k=10, text_top_k=10),
+        )
+        res = u_eng.generate(params, jax.random.PRNGKey(rng_seed),
+                             jnp.asarray([ids], jnp.int32))
+        return res.tokens[0, len(ids): int(res.length[0])].tolist()
+
     return LoadedModel(
         name="emu3", engine=eng, params=params, sample_fn=sample_fn,
         extras={"vq_params": vq_params, "vq_cfg": vq_cfg,
-                "tokenizer": tokenizer, "negative_prompt": negative_prompt},
+                "tokenizer": tokenizer, "negative_prompt": negative_prompt,
+                "understand_fn": understand_fn},
     )
 
 
@@ -459,10 +496,23 @@ def load_anole(
             start = len(ids) + rel
         return _decode_image_span(toks, start)
 
+    def encode_image_fn(image) -> list:
+        """pixels -> VQ tokens -> BPE image-token ids (get_image_tokens,
+        anole/modeling_chameleon.py:1588-1604); callers splice them between
+        <boi>/<eoi> for interleaved image-in-prompt generation."""
+        from sjd_tpu.data.vocab_translation import img_to_bpe as _i2b
+        from sjd_tpu.models.vq import encode as vq_encode
+
+        arr = np.asarray(image, np.float32)
+        ids = vq_encode(vq_params, vq_cfg, jnp.asarray(arr[None]))
+        return _i2b(mapping, np.asarray(ids[0], np.int32)).tolist()
+
     return LoadedModel(
         name="anole", engine=eng, params=params, sample_fn=sample_fn,
         extras={"vq_params": vq_params, "vq_cfg": vq_cfg, "mapping": mapping,
-                "multimodal_generation_mode": multimodal_generation_mode},
+                "multimodal_generation_mode": multimodal_generation_mode,
+                "encode_image_fn": encode_image_fn,
+                "boi_id": BOI_ID},
     )
 
 

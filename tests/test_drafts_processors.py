@@ -110,3 +110,52 @@ def test_process_window_logits_normalizes():
     )
     assert p.shape == (B, W, V)
     np.testing.assert_allclose(np.asarray(p).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_sequential_window_decomposer_conditions_on_sampled_tokens():
+    """SequenceSegmentDecomposer equivalent: a header SAMPLED inside the
+    window (image_start + two size tokens) must constrain LATER rows of the
+    same window — exactly what the parallel grammar (committed-state only)
+    cannot do. Reference: logit_processor_3dim.py:457-511 (fix_logits)."""
+    import jax
+
+    from sjd_tpu.core.processors import (
+        SamplingParams,
+        decompose_window_sequential,
+    )
+    from sjd_tpu.core import grammar as G
+
+    V = 64
+    spec = GrammarSpec(
+        kind="lumina", image_start_id=48, image_end_id=49, newline_id=50,
+        image_vocab_start=4, image_vocab_end=47, size_token_base=52,
+        grid_scale=2,
+    )
+    params = SamplingParams(do_cfg=False, greedy=True, image_top_k=44,
+                            text_top_k=60)
+    g0 = G.init_state(1)
+
+    # rows favor: <image_start>, size(53), size(53), then a TEXT token (60)
+    scores = np.full((1, 4, V), -5.0, np.float32)
+    scores[0, 0, 48] = 5.0
+    scores[0, 1, 53] = 5.0
+    scores[0, 2, 53] = 5.0
+    scores[0, 3, 60] = 5.0  # would win unconstrained
+    scores[0, 3, 10] = 4.0  # best in-image-vocab candidate
+
+    out, toks = decompose_window_sequential(
+        jax.random.PRNGKey(0), jnp.asarray(scores), spec, g0, params
+    )
+    toks = np.asarray(toks)[0].tolist()
+    assert toks[:3] == [48, 53, 53]
+    # row 3 is inside the (now armed) image: text token suppressed
+    assert 4 <= toks[3] <= 47 and toks[3] == 10, toks
+    # fix_logits: each row collapsed to a one-hot at the sampled token
+    out = np.asarray(out)
+    for r, t in enumerate(toks):
+        assert out[0, r, t] == 0.0
+        assert (out[0, r, :t] < -1e30).all() and (out[0, r, t + 1:] < -1e30).all()
+
+    # the engine's parallel grammar, by contrast, leaves row 3 unconstrained
+    par = np.asarray(G.apply_grammar(spec, g0, jnp.asarray(scores)))
+    assert par[0, 3, 60] == scores[0, 3, 60]

@@ -120,3 +120,39 @@ def test_freeform_multiturn_conversation():
     )
     assert sum(1 for t in ids if t == IMAGE_START_ID) == 1
     assert len(ids) > 12
+
+
+def test_anole_encode_image_fn(monkeypatch):
+    """get_image_tokens equivalent: pixels -> VQ -> bpe permutation
+    (anole/modeling_chameleon.py:1588-1604). Heavy decoder stubbed; the VQ
+    path runs for real on a 32px input."""
+    import sjd_tpu.loader as L
+    import sjd_tpu.models.anole as anole_mod
+
+    class FakeEngine:
+        model_cfg = None
+
+    monkeypatch.setattr(anole_mod, "anole_engine", lambda **k: FakeEngine())
+    monkeypatch.setattr(L, "_build_decoder_params", lambda *a, **k: {})
+    # shrink the VQ so encode runs fast on CPU
+    import sjd_tpu.models.vq as vq_mod
+
+    monkeypatch.setattr(vq_mod, "CHAMELEON_VQ", TINY_VQ)
+    import sjd_tpu.models.anole  # noqa: F401
+
+    model = L.load_anole()
+    rs = np.random.RandomState(5)
+    img = (rs.rand(32, 32, 3).astype(np.float32) * 2) - 1
+    bpe = model.extras["encode_image_fn"](img)
+    assert len(bpe) == 4  # 2x2 latent grid
+    mapping = model.extras["mapping"]
+    allowed = set(mapping.image_bpe_ids.tolist())
+    assert all(t in allowed for t in bpe)
+    # roundtrip: bpe -> codebook equals a direct encode
+    from sjd_tpu.data.vocab_translation import bpe_to_img
+    from sjd_tpu.models.vq import encode as vq_encode
+
+    direct = np.asarray(
+        vq_encode(model.extras["vq_params"], TINY_VQ, jnp.asarray(img[None]))[0]
+    )
+    np.testing.assert_array_equal(bpe_to_img(mapping, np.asarray(bpe)), direct)
