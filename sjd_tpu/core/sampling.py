@@ -36,6 +36,7 @@ def top_k_dual(
     image_mode: jnp.ndarray,  # [B] bool — inside an image segment
     image_top_k: int,
     text_top_k: int,
+    approx: bool = False,
 ) -> jnp.ndarray:
     """Interleaved top-k: image_top_k inside an image else text_top_k,
     decided per sample from committed tokens exactly like
@@ -43,12 +44,21 @@ def top_k_dual(
 
     One static top-k at max(image_top_k, text_top_k) provides both
     thresholds; the per-sample threshold is selected with a `where`.
+    ``approx`` swaps lax.top_k for the TPU-optimized approx_max_k (measured
+    0.80 -> 0.34 ms at k=2000 over a 65k vocab; the k-th-value threshold may
+    occasionally admit/drop a borderline token, so the exact reference
+    sampler semantics stay the default).
     """
     V = scores.shape[-1]
     k_img = min(image_top_k, V)
     k_txt = min(text_top_k, V)
     k_max = max(k_img, k_txt)
-    vals = jax.lax.top_k(scores, k_max)[0]  # [B, W, k_max] descending
+    if approx:
+        vals = jax.lax.approx_max_k(
+            scores, k_max, recall_target=0.95, aggregate_to_topk=True
+        )[0]
+    else:
+        vals = jax.lax.top_k(scores, k_max)[0]  # [B, W, k_max] descending
     thr_img = vals[..., k_img - 1]
     thr_txt = vals[..., k_txt - 1]
     thr = jnp.where(image_mode[:, None], thr_img, thr_txt)  # [B, W]
