@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--latent-size", type=int, default=16)
     ap.add_argument("--quantize", action="store_true")
     ap.add_argument("--no-quantize", action="store_true",
-                    help="force-disable W8A8 (overrides per-family defaults)")
+                    help="force-disable int8 weights (overrides per-family defaults)")
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--cfg", type=float, default=3.0)
     ap.add_argument("--image-top-k", type=int, default=2000)

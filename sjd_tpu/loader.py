@@ -49,9 +49,10 @@ def _to_pil(pixels: np.ndarray):
 
 
 def _build_decoder_params(model_cfg, ckpt_dir, quantize: bool):
-    """Port (or random-init) decoder params, optionally in W8A8 int8 serving
-    mode. Quantization is fused with init/port so bf16 and int8 copies never
-    coexist in HBM (7B bf16 + int8 exceed one v5e chip)."""
+    """Port (or random-init) decoder params, optionally with int8 weights
+    (W8A16 by default; DecoderConfig.act_quant). Quantization is fused with
+    init/port so bf16 and int8 copies never coexist in HBM (7B bf16 + int8
+    exceed one v5e chip)."""
     from sjd_tpu.models import init_params
     from sjd_tpu.models.transformer import quantize_weights
 
@@ -215,7 +216,7 @@ def load_emu3(
     negative_prompt_ids=None,
     negative_prompt: Optional[str] = None,
     positive_suffix: Optional[str] = None,
-    quantize: bool = True,  # 8B only fits one 16GB chip in W8A8
+    quantize: bool = True,  # the 8B only fits one 16GB chip with int8 weights
 ) -> LoadedModel:
     from sjd_tpu.data.emu3_processor import build_gen_prompt, extract_image_grid
     from sjd_tpu.models.emu3 import emu3_engine, emu3_grammar_state
