@@ -187,3 +187,83 @@ def test_understanding_prompt_matches_whole_string_tokenization(vocab_files):
                      visual_start=vis0),
     )
     assert got == want
+
+
+def test_load_emu3_understand_fn(vocab_files, monkeypatch):
+    """understand_fn: image -> VQ grid -> chat prompt -> grammarless text
+    generation over the same params. Heavy parts stubbed; asserts the prompt
+    reaching the engine is build_understanding_prompt's output and that the
+    generated tail (after the prompt) is returned."""
+    import numpy as np
+
+    import sjd_tpu.loader as L
+    import sjd_tpu.models.emu3 as emu3_mod
+
+    tok = Emu3Tokenizer(*vocab_files)
+    grid = np.asarray([[1, 2], [3, 4]], np.int32)
+    captured = {}
+
+    class FakeGenEngine:
+        model_cfg = None
+        model = "MODEL_FNS"
+
+        class config:  # dataclass stand-in for _dc.replace
+            pass
+
+    import dataclasses
+
+    @dataclasses.dataclass(frozen=True)
+    class FakeCfg:
+        cfg_mode: str = "neg_prompt"
+        max_len: int = 0
+        eos_id: int = -1
+
+    FakeGenEngine.config = FakeCfg()
+
+    monkeypatch.setattr(emu3_mod, "emu3_engine", lambda **k: FakeGenEngine())
+    monkeypatch.setattr(L, "_build_decoder_params", lambda *a, **k: {})
+
+    import sjd_tpu.models.vq.emu3_vq as emu3_vq_mod
+
+    monkeypatch.setattr(
+        emu3_vq_mod, "encode",
+        lambda p, c, px: np.asarray(grid[None]),
+    )
+
+    class FakeUEngine:
+        def __init__(self, model, config, spec, sampling):
+            captured["config"] = config
+            captured["spec_kind"] = spec.kind
+            captured["do_cfg"] = sampling.do_cfg
+
+        def generate(self, params, rng, prompt):
+            ids = np.asarray(prompt)[0]
+            captured["prompt"] = ids.tolist()
+
+            class R:
+                tokens = np.concatenate([prompt, np.full((1, 3), 7)], axis=1)
+                length = np.asarray([len(ids) + 3])
+
+            return R()
+
+    import sjd_tpu.core.engine as eng_mod
+
+    monkeypatch.setattr(eng_mod, "SJDEngine", FakeUEngine)
+
+    # stub VQ loading so understand_fn's vq_params guard passes
+    monkeypatch.setattr(L, "_load_sharded_state", lambda d: {})
+    import sjd_tpu.models.vq.emu3_port as port_mod
+
+    monkeypatch.setattr(port_mod, "port_emu3_vq", lambda s, c: {"stub": 1})
+    model = L.load_emu3(tokenizer=tok, h=4, w=4, vq_ckpt_dir="/tmp")
+
+    out = model.extras["understand_fn"]("what is this", np.zeros((16, 16, 3)))
+    from sjd_tpu.data.emu3_processor import build_understanding_prompt
+
+    want = build_understanding_prompt("what is this", grid,
+                                      lambda s: list(tok.encode(s)))
+    assert captured["prompt"] == want
+    assert captured["spec_kind"] == "none"
+    assert not captured["do_cfg"]
+    assert captured["config"].cfg_mode == "none"
+    assert out == [7, 7, 7]
