@@ -122,7 +122,6 @@ class SJDEngine:
         self.model = model
         self.config = config
         self.spec = grammar_spec
-        self.sampling = sampling_params
         # guidance_scale == 1.0 makes the CFG mix an identity (g*(c-u)+u == c),
         # so the doubled batch would be pure waste — and process_window_logits
         # would skip the collapse, leaking a [2B, W, V] tensor into acceptance.

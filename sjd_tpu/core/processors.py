@@ -117,11 +117,14 @@ def decompose_window_sequential(
 
     def step(carry, row_scores):  # row_scores: [B, V]
         g, r = carry
+        if params.temperature != 1.0:
+            row_scores = row_scores / params.temperature
         s = grammar_lib.apply_grammar_single(
             spec, g, row_scores, jnp.zeros((B,), jnp.int32)
         )
         s = sampling.top_k_dual(
-            s[:, None, :], g.in_image, params.image_top_k, params.text_top_k
+            s[:, None, :], g.in_image, params.image_top_k, params.text_top_k,
+            approx=params.approx_top_k,
         )[:, 0, :]
         if params.top_p is not None and params.top_p < 1.0:
             s = sampling.top_p(s, params.top_p)

@@ -98,14 +98,28 @@ def mapping_from_tokenizer(tokenizer) -> VocabMapping:
 
 def bpe_to_img(mapping: VocabMapping, ids):
     """LM image-token ids -> VQ codebook ids (array in, array out; works on
-    numpy and jax arrays — dense gather like convert_bpe2img_tokens)."""
+    numpy and jax arrays — dense gather like convert_bpe2img_tokens).
+
+    The host-side (numpy) path validates that every id IS an image token:
+    a silent clamp would map stray eos/text ids from an abnormally
+    terminated generation onto plausible codebook rows and decode a
+    corrupted-but-valid-looking image. Traced (jax) inputs clamp — raising
+    is impossible under jit."""
     table = mapping.bpe2img
     if type(ids).__module__.startswith("jax"):
         import jax.numpy as jnp
 
         table = jnp.asarray(table)
         return jnp.take(table, jnp.clip(ids, 0, table.shape[0] - 1))
-    return np.take(table, np.clip(ids, 0, table.shape[0] - 1))
+    arr = np.asarray(ids)
+    bad = ~np.isin(arr, mapping.image_bpe_ids)
+    if bad.any():
+        raise ValueError(
+            f"{int(bad.sum())} ids are not LM image tokens (e.g. "
+            f"{np.unique(arr[bad])[:8].tolist()}) — the generation likely "
+            "terminated inside an image"
+        )
+    return np.take(table, arr)
 
 
 def img_to_bpe(mapping: VocabMapping, ids):

@@ -48,6 +48,14 @@ def _to_pil(pixels: np.ndarray):
     return Image.fromarray(arr)
 
 
+def _image_to_array(image) -> np.ndarray:
+    """PIL image -> normalized [-1, 1] float array; arrays pass through
+    (they are documented as already normalized, matching the VQ encoders)."""
+    if hasattr(image, "convert") and not isinstance(image, np.ndarray):
+        return np.asarray(image.convert("RGB"), np.float32) / 127.5 - 1.0
+    return np.asarray(image, np.float32)
+
+
 def _build_decoder_params(model_cfg, ckpt_dir, quantize: bool):
     """Port (or random-init) decoder params, optionally with int8 weights
     (W8A16 by default; DecoderConfig.act_quant). Quantization is fused with
@@ -285,41 +293,72 @@ def load_emu3(
         pixels = emu3_decode(vq_params, vq_cfg, jnp.asarray(grid[None]))
         return _to_pil(np.asarray(pixels[0]))
 
+    # Understanding engine (mode='U'), built lazily ONCE: the prompt is
+    # left-padded to a fixed bucket so every question reuses one compiled
+    # decode loop, and the model fns get a RoPE table long enough for
+    # prompt + answer (the generation engine's table stops at its own
+    # max_len and the gather would silently clamp late positions).
+    u_state: dict = {}
+
+    def _understand_engine(max_new_tokens: int):
+        import dataclasses as _dc
+
+        from sjd_tpu.core.engine import SJDEngine
+        from sjd_tpu.core.grammar import GrammarSpec
+        from sjd_tpu.core.processors import SamplingParams
+        from sjd_tpu.models.adapter import decoder_model_fns
+        from sjd_tpu.models.emu3 import EOS_ID
+
+        key = ("engine", max_new_tokens)
+        if key not in u_state:
+            # visual block (h rows of w + eol) + header/template/text budget
+            p_bucket = h * (w + 1) + 128
+            max_len = p_bucket + max_new_tokens
+            u_model = decoder_model_fns(
+                eng.model_cfg, max_positions=max_len + window + 8
+            )
+            u_state[key] = (
+                SJDEngine(
+                    u_model,
+                    _dc.replace(eng.config, cfg_mode="none",
+                                max_len=max_len, eos_id=EOS_ID),
+                    GrammarSpec(kind="none"),
+                    SamplingParams(do_cfg=False, image_top_k=10, text_top_k=10),
+                ),
+                p_bucket,
+            )
+        return u_state[key]
+
     def understand_fn(question: str, image, rng_seed: int = 42,
                       max_new_tokens: int = 256):
         """Image understanding (mode='U'): pixels -> Emu3VisionVQ tokens ->
         chat prompt (build_understanding_prompt) -> plain AR/SJD text answer.
         No CFG, no image grammar (the reference runs vanilla generate for
-        'U'; processing_emu3.py:152-175). Returns generated token ids
-        (decode with the tokenizer)."""
+        'U'; processing_emu3.py:152-175). Accepts a PIL image or a
+        normalized [-1, 1] array; returns generated token ids (decode with
+        the tokenizer)."""
         assert tokenizer is not None, "understanding mode needs the tokenizer"
         assert vq_params is not None, "understanding mode needs the VQ"
         from sjd_tpu.data.emu3_processor import build_understanding_prompt
-        from sjd_tpu.models.emu3 import EOS_ID
+        from sjd_tpu.models.emu3 import PAD_ID
         from sjd_tpu.models.vq.emu3_vq import encode as emu3_encode
 
-        arr = np.asarray(image, np.float32)
+        arr = _image_to_array(image)
         grid = np.asarray(
             emu3_encode(vq_params, vq_cfg, jnp.asarray(arr[None]))[0], np.int32
         )
         ids = build_understanding_prompt(question, grid,
                                          lambda s: list(tokenizer.encode(s)))
-        import dataclasses as _dc
-
-        from sjd_tpu.core.engine import EngineConfig, SJDEngine
-        from sjd_tpu.core.grammar import GrammarSpec
-        from sjd_tpu.core.processors import SamplingParams
-
-        u_eng = SJDEngine(
-            eng.model,
-            _dc.replace(eng.config, cfg_mode="none",
-                        max_len=len(ids) + max_new_tokens, eos_id=EOS_ID),
-            GrammarSpec(kind="none"),
-            SamplingParams(do_cfg=False, image_top_k=10, text_top_k=10),
+        u_eng, p_bucket = _understand_engine(max_new_tokens)
+        assert len(ids) <= p_bucket, (
+            f"prompt {len(ids)} tokens exceeds the {p_bucket} bucket"
         )
+        pad = p_bucket - len(ids)
+        prompt = jnp.asarray([[PAD_ID] * pad + ids], jnp.int32)
+        mask = jnp.asarray([[False] * pad + [True] * len(ids)])
         res = u_eng.generate(params, jax.random.PRNGKey(rng_seed),
-                             jnp.asarray([ids], jnp.int32))
-        return res.tokens[0, len(ids): int(res.length[0])].tolist()
+                             prompt, prompt_mask=mask)
+        return res.tokens[0, p_bucket: int(res.length[0])].tolist()
 
     return LoadedModel(
         name="emu3", engine=eng, params=params, sample_fn=sample_fn,
@@ -456,9 +495,9 @@ def load_anole(
     else:
         mapping = identity_mapping(vq_cfg.n_embed, 4)
 
-    mode = {"interleaved-text-image": "interleaved"}.get(
-        multimodal_generation_mode, multimodal_generation_mode
-    )
+    from sjd_tpu.models.anole import normalize_mode
+
+    mode = normalize_mode(multimodal_generation_mode)
 
     def _generate_ids(prompt: str, rng_seed: int):
         if tokenizer is not None:
@@ -504,7 +543,7 @@ def load_anole(
         from sjd_tpu.data.vocab_translation import img_to_bpe as _i2b
         from sjd_tpu.models.vq import encode as vq_encode
 
-        arr = np.asarray(image, np.float32)
+        arr = _image_to_array(image)
         ids = vq_encode(vq_params, vq_cfg, jnp.asarray(arr[None]))
         return _i2b(mapping, np.asarray(ids[0], np.int32)).tolist()
 

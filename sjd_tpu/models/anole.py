@@ -30,14 +30,20 @@ IMAGE_VOCAB_END = 8195
 IMAGE_SEQ_LENGTH = 1024  # 32x32 latents (anole/modeling_chameleon.py:1529-1531)
 EOS_ID = 2
 
+def normalize_mode(mode: str) -> str:
+    """Canonical multimodal_generation_mode (the reference spells the
+    interleaved mode "interleaved-text-image")."""
+    mode = {"interleaved-text-image": "interleaved"}.get(mode, mode)
+    assert mode in ("image-only", "text-only", "interleaved", "unrestricted"), mode
+    return mode
+
+
 def anole_grammar(
     mode: str = "image-only", *, max_len: int = 0
 ) -> GrammarSpec:
     """Grammar spec per multimodal_generation_mode (reference
-    jacobi_iteration_anhole.py:170-262). Mode aliases normalize the
-    reference's "interleaved-text-image" spelling."""
-    mode = {"interleaved-text-image": "interleaved"}.get(mode, mode)
-    assert mode in ("image-only", "text-only", "interleaved", "unrestricted"), mode
+    jacobi_iteration_anhole.py:170-262)."""
+    mode = normalize_mode(mode)
     return GrammarSpec(
         kind="anole",
         image_start_id=BOI_ID,

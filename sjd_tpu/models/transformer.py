@@ -615,11 +615,20 @@ def forward(
         jnp.full((S,), cache_end, jnp.int32) if cache_end.ndim == 0 else cache_end
     )
 
-    # "auto": the Mosaic flash-decode kernel on real TPUs, plain XLA
-    # elsewhere (CPU tests, virtual meshes, GSPMD-partitioned TP runs)
+    # "auto": the Mosaic flash-decode kernel for single-chip TPU decode
+    # windows; plain XLA everywhere else —
+    #   * off-TPU (CPU tests, virtual meshes): no Mosaic;
+    #   * multi-device processes: pallas_call is not GSPMD-partitionable,
+    #     sharded (TP/DP) forwards must stay XLA;
+    #   * long-T forwards (prefill): the kernel's q block and fp32 VMEM
+    #     scratch scale with T*group and would blow VMEM at prompt lengths —
+    #     prefill runs once, the XLA path is fine there.
     attn_impl = cfg.attn_impl
     if attn_impl == "auto":
-        attn_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        single_tpu = jax.default_backend() == "tpu" and jax.device_count() == 1
+        attn_impl = "pallas" if (single_tpu and T <= 64) else "xla"
+    elif attn_impl == "pallas" and T > 64:
+        attn_impl = "xla"
 
     # Live-prefix chunked attention (see _attend_chunked / DecoderConfig
     # .attn_buckets). Falls back to monolithic attention unless the buffer

@@ -235,10 +235,13 @@ def test_load_emu3_understand_fn(vocab_files, monkeypatch):
             captured["config"] = config
             captured["spec_kind"] = spec.kind
             captured["do_cfg"] = sampling.do_cfg
+            captured["model"] = model
 
-        def generate(self, params, rng, prompt):
+        def generate(self, params, rng, prompt, prompt_mask=None):
             ids = np.asarray(prompt)[0]
-            captured["prompt"] = ids.tolist()
+            mask = np.asarray(prompt_mask)[0]
+            captured["prompt"] = ids[mask].tolist()
+            captured["bucket"] = len(ids)
 
             class R:
                 tokens = np.concatenate([prompt, np.full((1, 3), 7)], axis=1)
@@ -247,8 +250,11 @@ def test_load_emu3_understand_fn(vocab_files, monkeypatch):
             return R()
 
     import sjd_tpu.core.engine as eng_mod
+    import sjd_tpu.models.adapter as adapter_mod
 
     monkeypatch.setattr(eng_mod, "SJDEngine", FakeUEngine)
+    monkeypatch.setattr(adapter_mod, "decoder_model_fns",
+                        lambda cfg, **k: "U_MODEL_FNS")
 
     # stub VQ loading so understand_fn's vq_params guard passes
     monkeypatch.setattr(L, "_load_sharded_state", lambda d: {})
@@ -263,7 +269,9 @@ def test_load_emu3_understand_fn(vocab_files, monkeypatch):
     want = build_understanding_prompt("what is this", grid,
                                       lambda s: list(tok.encode(s)))
     assert captured["prompt"] == want
+    assert captured["bucket"] == 4 * 5 + 128  # fixed pad bucket: one compile
     assert captured["spec_kind"] == "none"
     assert not captured["do_cfg"]
     assert captured["config"].cfg_mode == "none"
+    assert captured["model"] == "U_MODEL_FNS"  # own RoPE-length model fns
     assert out == [7, 7, 7]
