@@ -87,9 +87,11 @@ class DecoderConfig:
     # cache reads, VMEM online-softmax state, dead-chunk DMA skipping; beats
     # the XLA path at every cache fill on v5e (13.0/15.1/16.5 vs
     # 16.5/16.5/17.5 ms/forward at 150/1200/2400 live rows, 7B CFG W=16).
-    # "auto" (default) = pallas on TPU, xla elsewhere (the kernel needs real
-    # Mosaic; on multi-chip TP meshes use "xla" — pallas_call is not
-    # GSPMD-partitionable without shard_map).
+    # "auto" (default) = pallas for single-chip TPU decode windows, xla
+    # elsewhere. "pallas_tp" = the kernel under shard_map over the ambient
+    # mesh's 'model' axis (attention is head-parallel, no collectives) — the
+    # explicit opt-in for multi-chip TP serving, since pallas_call is not
+    # GSPMD-partitionable on its own.
     attn_impl: str = "auto"
     norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
@@ -627,7 +629,7 @@ def forward(
     if attn_impl == "auto":
         single_tpu = jax.default_backend() == "tpu" and jax.device_count() == 1
         attn_impl = "pallas" if (single_tpu and T <= 64) else "xla"
-    elif attn_impl == "pallas" and T > 64:
+    elif attn_impl in ("pallas", "pallas_tp") and T > 64:
         attn_impl = "xla"
 
     # Live-prefix chunked attention (see _attend_chunked / DecoderConfig
@@ -678,6 +680,13 @@ def forward(
                         q, k_all_q, v_all_q, ks_all, vs_all,
                         cache_end, valid, window=T,
                     )
+                elif attn_impl == "pallas_tp":
+                    from ..ops.decode_attention import decode_attention_tp
+
+                    out = decode_attention_tp(
+                        q, k_all_q, v_all_q, ks_all, vs_all,
+                        cache_end, valid, window=T,
+                    )
                 elif use_chunked:
                     out = _attend_chunked(
                         q, k_all_q, v_all_q, ks_all, vs_all, mask, n_live, chunk
@@ -696,6 +705,12 @@ def forward(
                     from ..ops.decode_attention import decode_attention
 
                     out = decode_attention(
+                        q, k_all, v_all, None, None, cache_end, valid, window=T
+                    )
+                elif attn_impl == "pallas_tp":
+                    from ..ops.decode_attention import decode_attention_tp
+
+                    out = decode_attention_tp(
                         q, k_all, v_all, None, None, cache_end, valid, window=T
                     )
                 elif use_chunked:

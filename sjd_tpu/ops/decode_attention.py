@@ -205,3 +205,44 @@ def decode_attention(
     # [S, Hkv, W*G, D] -> [S, W, H, D]
     out = out.reshape(S, Hkv, W, group, D).transpose(0, 2, 1, 3, 4)
     return out.reshape(S, W, H, D)
+
+
+def decode_attention_tp(
+    q, k_cache, v_cache, k_scale, v_scale, cache_end, valid,
+    *, window: int, axis: str = "model", mesh=None,
+    chunk: int = 512, interpret: bool = False,
+):
+    """Tensor-parallel wrapper: attention is head-parallel, so each TP rank
+    runs the flash-decode kernel on its own head shard with NO collectives —
+    the shard_map escape hatch GSPMD needs around pallas_call. ``mesh``
+    defaults to the ambient mesh (jax.set_mesh). Sharding contract matches
+    parallel/sharding.py: q heads and KV heads split on ``axis``; cache_end
+    and valid replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    if mesh is None:
+        mesh = jax.sharding.get_abstract_mesh()
+
+    hs = P(None, None, axis, None)
+    quantized = k_scale is not None
+
+    if quantized:
+        def local(q, k, v, ks, vs, ce, vd):
+            return decode_attention(q, k, v, ks, vs, ce, vd, window=window,
+                                    chunk=chunk, interpret=interpret)
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(hs, hs, hs, P(None, None, axis), P(None, None, axis),
+                      P(), P()),
+            out_specs=hs, check_vma=False,
+        )(q, k_cache, v_cache, k_scale, v_scale, cache_end, valid)
+
+    def local(q, k, v, ce, vd):
+        return decode_attention(q, k, v, None, None, ce, vd, window=window,
+                                chunk=chunk, interpret=interpret)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(hs, hs, hs, P(), P()),
+        out_specs=hs, check_vma=False,
+    )(q, k_cache, v_cache, cache_end, valid)

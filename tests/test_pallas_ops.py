@@ -80,3 +80,40 @@ def test_decode_attention_multichunk_matches_reference():
     want = _reference_attn(q, k, v, cache_end, valid, W)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_tp_matches_local():
+    """shard_map-wrapped kernel over a 2-way model axis (head-parallel, no
+    collectives) must equal the unsharded kernel — the multi-chip TP serving
+    path (attn_impl='pallas_tp')."""
+    from jax.sharding import Mesh
+
+    from sjd_tpu.ops.decode_attention import decode_attention_tp
+
+    S, W, H, Hkv, D, L = 2, 4, 8, 4, 8, 64
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (S, W, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (S, L, Hkv, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (S, L, Hkv, D), jnp.float32)
+    ce = jnp.asarray([10, 30], jnp.int32)
+    valid = jnp.ones((S, L), bool)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("model",))
+
+    got = decode_attention_tp(q, k, v, None, None, ce, valid, window=W,
+                              mesh=mesh, chunk=16, interpret=True)
+    want = decode_attention(q, k, v, None, None, ce, valid, window=W,
+                            chunk=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # quantized path too
+    from sjd_tpu.models.transformer import _quantize_rows
+
+    kq, ks = _quantize_rows(k)
+    vq, vs = _quantize_rows(v)
+    got_q = decode_attention_tp(q, kq, vq, ks, vs, ce, valid, window=W,
+                                mesh=mesh, chunk=16, interpret=True)
+    want_q = decode_attention(q, kq, vq, ks, vs, ce, valid, window=W,
+                              chunk=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_q), np.asarray(want_q),
+                               rtol=2e-5, atol=2e-5)
