@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--init", default="random",
                     choices=["random", "repeat_horizon", "sample_horizon"])
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--num-repeats", type=int, default=1,
+                    help=">1 tiles repeats into a grid (generate_examples/generate.py)")
     ap.add_argument("--out", default="lumina_sjd.png")
     args = ap.parse_args()
 
@@ -47,7 +49,14 @@ def main():
         seed=args.seed,
     )
     t0 = time.time()
-    image = model.sample_fn(args.prompt)
+    if args.num_repeats > 1:
+        from sjd_tpu.data.item_processor import image_grid
+
+        images = [model.sample_fn(args.prompt, rng_seed=args.seed + r)
+                  for r in range(args.num_repeats)]
+        image = image_grid(images, 1, args.num_repeats)
+    else:
+        image = model.sample_fn(args.prompt)
     print(f"Time elapsed: {time.time() - t0:.2f}s")
     image.save(args.out)
     print(f"saved {args.out}")

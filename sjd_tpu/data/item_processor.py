@@ -119,6 +119,18 @@ def split_generation(tokens: Sequence[int]):
     return spans
 
 
+def image_grid(images, rows: int, cols: int):
+    """Tile PIL images into one grid image — FlexARInferenceSolver
+    .create_image_grid (used by generate_examples/generate.py)."""
+    w, h = images[0].size
+    from PIL import Image
+
+    grid = Image.new("RGB", (cols * w, rows * h))
+    for i, img in enumerate(images):
+        grid.paste(img, ((i % cols) * w, (i // cols) * h))
+    return grid
+
+
 def t2i_question(caption: str, pixels_w: int = 768, pixels_h: int = 768) -> str:
     return (
         f"Generate an image of {pixels_w}x{pixels_h} according to the "
