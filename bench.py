@@ -14,11 +14,13 @@ weight-independent.
 Baseline: A100 + PyTorch SJD = 47.13 s / 1115 forwards (BASELINE.md).
 Prints one JSON line; vs_baseline > 1 means faster than the reference.
 
-Default config: W8A16 int8-weight serving (per-channel int8 weights,
-activations — halves weight HBM reads; 28.6 s = 1.65x the A100 reference) +
-spatial draft init. BENCH_QUANT=0 BENCH_INIT=random reproduces the bf16
-configuration whose numerics match the reference exactly (42.6 s = 1.11x).
-With real checkpoints, validate int8-weight quality (FID) before production use.
+Default config: W4A16 int4-weight serving (packed-nibble weights with
+per-channel scales + exact column equilibration, int8 lm_head for acceptance
+fidelity — 15.6 s = 3.0x the A100 reference, NFE 1155 at parity with the
+reference's 1115) + spatial draft init. BENCH_QUANT=1 selects int8 W8A16
+(19.7 s = 2.39x); BENCH_QUANT=0 BENCH_INIT=random reproduces the bf16
+configuration whose numerics match the reference exactly (29.8 s = 1.58x).
+With real checkpoints, validate quantized quality (FID) before production use.
 """
 
 import json
@@ -68,7 +70,11 @@ def bench_emu3():
         while not bool(_jax.numpy.all(state.finished)):
             res, state = eng.resume(params, state, max_steps=chunk,
                                     return_state=True)
-        jax.block_until_ready(res.tokens)
+        # device->host fetch: block_until_ready alone can return before the
+        # tunnel actually finishes executing (observed: a 15 s generate
+        # "measured" 0.06 s); a host copy is a true completion barrier.
+        import numpy as _np
+        _np.asarray(res.tokens)
         return res
 
     t0 = time.time()
@@ -132,14 +138,25 @@ def main():
     )
     cfg = eng.model_cfg
 
-    quant = bool(int(os.environ.get("BENCH_QUANT", "1")))
+    # BENCH_QUANT: 4 = int4 W4A16 (default; equilibrated per-channel packed
+    # nibbles, int8 head — half the weight HBM reads), 1/8 = int8 W8A16,
+    # 0 = bf16 parity config.
+    quant_env = os.environ.get("BENCH_QUANT", "4")
+    quant = bool(int(quant_env))
+    bits = 4 if quant_env == "4" else 8
+    head_bits = int(os.environ.get("BENCH_HEAD_BITS", "8"))
     if quant:
-        # int8-weight serving mode (W8A16 by default; see DecoderConfig
-        # .act_quant). Fused with init so bf16 and int8 weight copies never
-        # coexist in HBM.
+        # Quantized-weight serving mode (W8A16/W4A16; see DecoderConfig
+        # .act_quant and quantize_weights). Fused with init so bf16 and
+        # quantized weight copies never coexist in HBM.
+        import functools
+
         from sjd_tpu.models.transformer import quantize_weights
 
-        params = jax.jit(lambda k: quantize_weights(init_params(k, cfg)))(
+        qw = functools.partial(
+            quantize_weights, bits=bits, head_bits=head_bits, config=cfg
+        )
+        params = jax.jit(lambda k: qw(init_params(k, cfg)))(
             jax.random.PRNGKey(0)
         )
     else:
@@ -160,7 +177,11 @@ def main():
 
     def run(seed):
         res = eng.generate(params, jax.random.PRNGKey(seed), prompt)
-        jax.block_until_ready(res.tokens)
+        # device->host fetch: block_until_ready alone can return before the
+        # tunnel actually finishes executing (observed: a 15 s generate
+        # "measured" 0.06 s); a host copy is a true completion barrier.
+        import numpy as _np
+        _np.asarray(res.tokens)
         return res
 
     t0 = time.time()
@@ -180,7 +201,15 @@ def main():
                 "metric": (
                     f"Lumina-mGPT-7B {target}px SJD end-to-end latency "
                     f"({batch} image{'s' if batch > 1 else ''}, CFG, window {window}"
-                    + (", int8 weights W8A16" if quant else "")
+                    + (
+                        (
+                            f", int4 weights W4A16 (equilibrated, int{head_bits} head)"
+                            if bits == 4
+                            else ", int8 weights W8A16"
+                        )
+                        if quant
+                        else ""
+                    )
                     + (f", init={init}" if init != "random" else "")
                     + ")"
                 ),

@@ -29,9 +29,13 @@ def main():
     ap.add_argument("--target-size", type=int, default=768)
     ap.add_argument("--gpt-model", default="GPT-XL")
     ap.add_argument("--latent-size", type=int, default=16)
-    ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--quantize", nargs="?", const="8", default=None,
+                    choices=["4", "8"],
+                    help="quantized weight serving: 8 = int8 W8A16, "
+                         "4 = int4 W4A16 (equilibrated per-channel)")
     ap.add_argument("--no-quantize", action="store_true",
-                    help="force-disable int8 weights (overrides per-family defaults)")
+                    help="force-disable quantized weights (overrides "
+                         "per-family defaults)")
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--cfg", type=float, default=3.0)
     ap.add_argument("--image-top-k", type=int, default=2000)
@@ -75,6 +79,9 @@ def main():
     common = dict(window=args.window, guidance_scale=args.cfg,
                   image_top_k=args.image_top_k, scheme=args.scheme,
                   init=args.init)
+    quantize = False if args.no_quantize else (
+        int(args.quantize) if args.quantize else False
+    )
     if "llamagen" in args.model:
         kwargs = dict(gpt_ckpt=args.ckpt_dir, vq_ckpt=args.vq_ckpt,
                       name=args.gpt_model, latent_size=args.latent_size,
@@ -83,13 +90,13 @@ def main():
         # quantize defaults True for the 8B (HBM) but stays overridable
         kwargs = dict(ckpt_dir=args.ckpt_dir, **common)
         if args.quantize or args.no_quantize:
-            kwargs["quantize"] = args.quantize and not args.no_quantize
+            kwargs["quantize"] = quantize
     elif "anole" in args.model:
-        kwargs = dict(ckpt_dir=args.ckpt_dir, quantize=args.quantize, **common)
+        kwargs = dict(ckpt_dir=args.ckpt_dir, quantize=quantize, **common)
     else:  # lumina
         kwargs = dict(ckpt_dir=args.ckpt_dir, vq_ckpt=args.vq_ckpt,
                       target_size=args.target_size, seed=args.seed,
-                      quantize=args.quantize, **common)
+                      quantize=quantize, **common)
     model = load_pretrained_model(args.model, **kwargs)
     stats = run_prompt_set(
         model.sample_fn, shard, workdir,

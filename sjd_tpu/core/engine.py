@@ -246,6 +246,15 @@ class SJDEngine:
         return ~gstate.in_image
 
     def _continue_impl(self, params, state: EngineState, nfe_cap) -> EngineState:
+        # Packed-int4 weights unpack to s4 HERE — explicitly outside the
+        # while_loop. XLA's loop-invariant code motion does NOT hoist the
+        # unpack chain out of the loop body (measured 35.8 ms/forward when
+        # left inside vs 6.4 unpacked once vs 9.6 int8 on the 7B matmul
+        # load); after this, every step reads packed s4 at half the int8
+        # weight traffic. No-op for non-int4 pytrees.
+        from ..models.transformer import unpack_int4_params
+
+        params = unpack_int4_params(params)
         cfg = self.config
         W = cfg.window
 
@@ -286,6 +295,9 @@ class SJDEngine:
         self, params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate0,
         prompt_embeds, neg_prompt_embeds, nfe_cap,
     ) -> EngineState:
+        from ..models.transformer import unpack_int4_params
+
+        params = unpack_int4_params(params)  # see _continue_impl
         use_embeds = prompt_embeds.ndim == 3 and prompt_embeds.shape[1] > 0
         cfg = self.config
         B, P = prompt.shape

@@ -56,23 +56,29 @@ def _image_to_array(image) -> np.ndarray:
     return np.asarray(image, np.float32)
 
 
-def _build_decoder_params(model_cfg, ckpt_dir, quantize: bool):
-    """Port (or random-init) decoder params, optionally with int8 weights
-    (W8A16 by default; DecoderConfig.act_quant). Quantization is fused with
-    init/port so bf16 and int8 copies never coexist in HBM (7B bf16 + int8
-    exceed one v5e chip)."""
+def _build_decoder_params(model_cfg, ckpt_dir, quantize):
+    """Port (or random-init) decoder params, optionally with quantized
+    weights. ``quantize``: False = bf16; True or 8 = int8 W8A16 (the serving
+    default; DecoderConfig.act_quant); 4 or "int4" = int4 with group-128
+    scales (half the weight HBM reads — see quantize_weights). Quantization
+    is fused with init/port so bf16 and quantized copies never coexist in
+    HBM (7B bf16 + int8 exceed one v5e chip)."""
+    import functools
+
     from sjd_tpu.models import init_params
     from sjd_tpu.models.transformer import quantize_weights
 
+    bits = 4 if quantize in (4, "4", "int4") else 8
+    quant = functools.partial(quantize_weights, bits=bits, config=model_cfg)
     if ckpt_dir:
         from sjd_tpu.utils.port import port_hf_llama_like
 
         params = port_hf_llama_like(_load_sharded_state(ckpt_dir), model_cfg)
         if quantize:
-            params = jax.jit(quantize_weights, donate_argnums=(0,))(params)
+            params = jax.jit(quant, donate_argnums=(0,))(params)
         return params
     if quantize:
-        return jax.jit(lambda k: quantize_weights(init_params(k, model_cfg)))(
+        return jax.jit(lambda k: quant(init_params(k, model_cfg)))(
             jax.random.PRNGKey(0)
         )
     return jax.jit(lambda k: init_params(k, model_cfg))(jax.random.PRNGKey(0))

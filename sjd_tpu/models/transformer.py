@@ -309,6 +309,55 @@ def linear(x: jnp.ndarray, w, act_quant: str = "int8") -> jnp.ndarray:
     return _dot_last(x, w, x.dtype)
 
 
+def unpack_int4(q4p: jnp.ndarray) -> jnp.ndarray:
+    """[..., O, K/2] packed uint8 -> [..., O, K] int8 values in [-8, 7].
+
+    Split-half nibble layout (see quantize_weights bits=4): byte column j
+    holds weight column j in its LOW nibble and column j + K/2 in its HIGH
+    nibble, so unpacking is two arithmetic shifts and one lane-contiguous
+    concatenate (no interleave relayout).
+    """
+    i8 = q4p.astype(jnp.int8)
+    four = jnp.int8(4)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(i8, four), four)
+    hi = jax.lax.shift_right_arithmetic(i8, four)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def unpack_int4_params(params: PyTree) -> PyTree:
+    """Unpack every {"q4p": uint8, "s"} leaf-dict to {"q": s4, "s"}.
+
+    MUST run on the STACKED [n_layers, O, K/2] arrays BEFORE the layer scan:
+    the unpack chain is then invariant w.r.t. the decode while_loop, XLA
+    hoists it, and every step reads packed s4 storage at half the int8 HBM
+    traffic with the s4 -> bf16 convert fused into the MXU operand read
+    (measured 4.3 ms/forward vs int8's 6.3 on the v5e 7B decode matmul
+    load). Unpacking per-layer inside the scan body instead re-executes on
+    every forward (scan xs slices cannot be hoisted) and measured SLOWER
+    than int8 (16.2 ms).
+
+    Design notes (all measured — PERF_NOTES.md — do not redo blindly):
+    group-wise scales cannot ride the one-dot structure (an XLA sub-dot per
+    group round-trips [Kg, M, O] fp32 partials through HBM: 9.7 ms), and a
+    Pallas kernel over the packed bytes bottoms out at 5.4 ms even with NO
+    nibble extraction (in-VMEM extraction costs ~4 ms more: Mosaic has no
+    sub-word vector shifts, nibbles widen to i32 lane-by-lane). Per-channel
+    scales + the exact column equilibration of equilibrate_for_int4 (folded
+    into adjacent params at quantization time, zero runtime cost) is the
+    accuracy-bearing substitute.
+    """
+
+    def is_q(t):
+        return isinstance(t, dict) and "q4p" in t
+
+    def unp(t):
+        if is_q(t):
+            return {"q": unpack_int4(t["q4p"]).astype(jnp.int4), "s": t["s"]}
+        return t
+
+    return jax.tree.map(unp, params, is_leaf=is_q)
+
+
 def linear_multi(x: jnp.ndarray, ws, act_quant: str = "int8"):
     """Several projections of the SAME input (qkv, gate/up): the activation
     quantization chain runs once and is shared across the dots — the chain
@@ -317,6 +366,17 @@ def linear_multi(x: jnp.ndarray, ws, act_quant: str = "int8"):
     """
     if not isinstance(ws[0], dict):
         return [_dot_last(x, w, x.dtype) for w in ws]
+    if "q4p" in ws[0]:
+        # packed leaves reaching a dot directly (prefill paths that skipped
+        # unpack_int4_params, CPU tests): unpack inline — correct anywhere,
+        # but per-use; the decode hot path unpacks stacked arrays once
+        ws = [
+            {"q": unpack_int4(w["q4p"]).astype(jnp.int4), "s": w["s"]}
+            for w in ws
+        ]
+    if ws[0]["q"].dtype == jnp.int4:
+        # s4 weights always take the bf16 multiply (no int4xint8 MXU path)
+        act_quant = "bf16"
     if act_quant == "bf16":
         outs = []
         for w in ws:
@@ -332,10 +392,121 @@ def linear_multi(x: jnp.ndarray, ws, act_quant: str = "int8"):
     return outs
 
 
-def quantize_weights(params: PyTree, *, quantize_head: bool = True) -> PyTree:
-    """Per-output-channel symmetric int8 quantization of every projection
-    weight in a decoder pytree (weights already in [layer, out, in] layout).
-    Norm scales, qk-norm affines, and the embedding table stay bf16.
+def equilibrate_for_int4(
+    params: PyTree, cfg: Optional["DecoderConfig"] = None
+) -> PyTree:
+    """Exact (lossless in fp) column equilibration before int4 quantization.
+
+    Per-channel int4 error scales with each output row's max |w|; when a few
+    INPUT columns dominate a projection, every row's scale is inflated by
+    them. Scaling projection column k by c[k] = colmax[k]^-0.5 (and its
+    input by c[k]^-1) compresses the column dynamic range by a square root
+    at zero runtime cost, because every inverse folds EXACTLY into an
+    adjacent parameter (the SmoothQuant/AWQ fold, done weight-only here):
+
+      * wq/wk/wv   <- attn_norm scale   (their shared input is the pre-norm)
+      * w_gate/w_up<- mlp_norm scale
+      * wo         <- wv output rows    (attention mixes v linearly; under
+                                         GQA the scale is shared across the
+                                         q-heads of each kv group)
+      * w_down     <- w_up output rows  (silu(gate) * up is linear in up)
+      * lm_head    <- final_norm scale  (skipped for tied embeddings)
+
+    The norm folds require pre-norm layers (they are skipped when
+    cfg.swin_norm, where sublayer inputs are the raw residual stream); the
+    wv/w_up row folds are norm-free and always apply. Returns a pytree that
+    computes IDENTICAL fp outputs (tested to fp tolerance in
+    tests/test_weight_quant.py) but quantizes to int4 with smaller error.
+    """
+    lay = dict(params["layers"])
+    pre_norm = not (cfg is not None and cfg.swin_norm)
+
+    def colscale(*ws):
+        cm = jnp.max(
+            jnp.stack([jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2) for w in ws]),
+            axis=0,
+        )  # [.., K]
+        return jnp.maximum(jnp.sqrt(jnp.maximum(cm, 1e-8)), 1e-4)
+
+    if pre_norm:
+        c_attn = colscale(lay["wq"], lay["wk"], lay["wv"])  # [n, d]
+        for k in ("wq", "wk", "wv"):
+            lay[k] = (lay[k].astype(jnp.float32) / c_attn[:, None, :]).astype(
+                lay[k].dtype
+            )
+        lay["attn_norm"] = (
+            lay["attn_norm"].astype(jnp.float32) * c_attn
+        ).astype(lay["attn_norm"].dtype)
+
+        c_mlp = colscale(lay["w_gate"], lay["w_up"])
+        for k in ("w_gate", "w_up"):
+            lay[k] = (lay[k].astype(jnp.float32) / c_mlp[:, None, :]).astype(
+                lay[k].dtype
+            )
+        lay["mlp_norm"] = (
+            lay["mlp_norm"].astype(jnp.float32) * c_mlp
+        ).astype(lay["mlp_norm"].dtype)
+
+    # wo <- wv rows: wo's input channel (h, d) carries v channel (h//g, d)
+    if cfg is not None:
+        n = lay["wo"].shape[0]
+        H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        group = H // Hkv
+        wo4 = lay["wo"].astype(jnp.float32).reshape(n, -1, Hkv, group, D)
+        cm = jnp.max(jnp.abs(wo4), axis=(1, 3))  # [n, Hkv, D]
+        c_kv = jnp.maximum(jnp.sqrt(jnp.maximum(cm, 1e-8)), 1e-4)
+        lay["wo"] = (wo4 / c_kv[:, None, :, None, :]).reshape(
+            lay["wo"].shape
+        ).astype(lay["wo"].dtype)
+        wv3 = lay["wv"].astype(jnp.float32).reshape(n, Hkv, D, -1)
+        lay["wv"] = (wv3 * c_kv[..., None]).reshape(lay["wv"].shape).astype(
+            lay["wv"].dtype
+        )
+
+    # w_down <- w_up rows
+    c_i = colscale(lay["w_down"])  # [n, intermediate]
+    lay["w_down"] = (
+        lay["w_down"].astype(jnp.float32) / c_i[:, None, :]
+    ).astype(lay["w_down"].dtype)
+    lay["w_up"] = (lay["w_up"].astype(jnp.float32) * c_i[..., None]).astype(
+        lay["w_up"].dtype
+    )
+
+    out = dict(params)
+    out["layers"] = lay
+    if pre_norm and "lm_head" in params:
+        c_h = colscale(params["lm_head"])  # [d]
+        out["lm_head"] = (
+            params["lm_head"].astype(jnp.float32) / c_h[None, :]
+        ).astype(params["lm_head"].dtype)
+        out["final_norm"] = (
+            params["final_norm"].astype(jnp.float32) * c_h
+        ).astype(params["final_norm"].dtype)
+    return out
+
+
+def quantize_weights(
+    params: PyTree, *, quantize_head: bool = True, bits: int = 8,
+    head_bits: Optional[int] = None, equilibrate: bool = True,
+    config: Optional["DecoderConfig"] = None,
+) -> PyTree:
+    """Symmetric intN quantization of every projection weight in a decoder
+    pytree (weights already in [layer, out, in] layout). Norm scales, qk-norm
+    affines, and the embedding table stay bf16.
+
+    bits=8: {"q": int8, "s": [.., O]} per-output-channel — the W8A16
+    production default.
+    bits=4: {"q4p": uint8 [.., O, K/2] (two nibbles per byte, split-half
+    layout — see unpack_int4), "s": [.., O]} — halves at-rest weight HBM AND
+    per-step weight reads (the single biggest decode cost; PERF_NOTES.md).
+    Packed uint8 crosses the jit boundary safely (s4 jit inputs trip a
+    runtime bug in the axon TPU tunnel, "Recursively calling jit"); the
+    in-jit unpack to s4 is loop-invariant and hoisted out of the decode
+    while_loop. Accuracy at per-channel granularity is recovered by the
+    exact column equilibration of ``equilibrate_for_int4`` (on by default;
+    pass the model's DecoderConfig as ``config`` to enable the head-aware
+    wo<-wv fold and the swin_norm gating). Odd-K weights fall back to int8.
+    With real checkpoints, validate int4 quality (FID) before production.
 
     Pure/traceable: for big models, run it fused with the weight producer
     (e.g. ``jax.jit(lambda k: quantize_weights(init_params(k, cfg)))`` or on
@@ -344,18 +515,40 @@ def quantize_weights(params: PyTree, *, quantize_head: bool = True) -> PyTree:
     """
     big = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
 
-    def quant(w: jnp.ndarray) -> dict:
+    def quant8(w: jnp.ndarray) -> dict:
         wf = w.astype(jnp.float32)
         s = jnp.maximum(jnp.max(jnp.abs(wf), axis=-1) / 127.0, 1e-8)
         q = jnp.clip(jnp.round(wf / s[..., None]), -127, 127).astype(jnp.int8)
         return {"q": q, "s": s.astype(jnp.bfloat16)}
 
+    def quant4(w: jnp.ndarray) -> dict:
+        K = w.shape[-1]
+        if K % 2:
+            return quant8(w)
+        wf = w.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(wf), axis=-1) / 7.0, 1e-8)
+        q = jnp.clip(jnp.round(wf / s[..., None]), -8, 7).astype(jnp.int8)
+        lo = q[..., : K // 2]
+        hi = q[..., K // 2 :]
+        packed = (lo & 0xF).astype(jnp.uint8) | (
+            jax.lax.shift_left(hi.astype(jnp.uint8), jnp.uint8(4))
+        )
+        return {"q4p": packed, "s": s.astype(jnp.bfloat16)}
+
+    if bits == 4 and equilibrate:
+        params = equilibrate_for_int4(params, config)
+
+    quant = quant4 if bits == 4 else quant8
     out = dict(params)
     out["layers"] = {
         k: (quant(v) if k in big else v) for k, v in params["layers"].items()
     }
     if quantize_head and "lm_head" in params:
-        out["lm_head"] = quant(params["lm_head"])
+        # head_bits: the lm_head is ~2% of weight bytes but its logits feed
+        # the speculative-acceptance test directly; int8 there recovers part
+        # of the int4 NFE regression at negligible bandwidth cost.
+        hq = quant4 if (head_bits or bits) == 4 else quant8
+        out["lm_head"] = hq(params["lm_head"])
     return out
 
 
@@ -598,6 +791,10 @@ def forward(
     """
     S, T = ids.shape
     L_buf = kv.buf_len
+    # packed-int4 leaves: unpack the stacked arrays HERE (outside the layer
+    # scan, inside the decode while_loop body -> loop-invariant -> hoisted;
+    # see unpack_int4_params)
+    params = unpack_int4_params(params)
 
     if inputs_embeds is not None:
         h = inputs_embeds.astype(cfg.dtype)
@@ -779,6 +976,7 @@ def forward_train(
     activation checkpointing, xllmx/solvers/finetune/finetune.py:348-358).
     """
     B, T = ids.shape
+    params = unpack_int4_params(params)
     if rope_table is None:
         rope_table = make_rope_table(cfg, int(positions.max()) + 1 if positions.size else T)
     h = params["embed"][ids]

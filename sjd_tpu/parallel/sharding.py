@@ -104,3 +104,31 @@ def apply_named_sharding(mesh: Mesh, params: PyTree, specs: PyTree) -> PyTree:
 def kv_cache_specs(*, tp: bool = True) -> P:
     """KV buffers [layers, S, L, Hkv, D]: batch on 'data', kv heads on 'model'."""
     return P(None, "data", None, "model" if tp else None, None)
+
+
+def expand_specs_for_quantized(params: PyTree, specs: PyTree) -> PyTree:
+    """Match name->PartitionSpec trees to quantized param pytrees.
+
+    quantize_weights replaces projection leaves with dicts ({"q": int8 or
+    "q4p": packed uint8, "s": scales}); the plain specs from
+    decoder_param_specs then structurally mismatch. This expands each spec P
+    over a quantized leaf-dict: the values array keeps the weight's spec
+    (the packed int4 K/2 axis has the same logical axis order), and the
+    scale vector keeps the spec's leading axes (per-out-channel scales drop
+    the contracted dim). Under GSPMD the int4 unpack is an op on the LOGICAL
+    array, so sharding the packed axis stays semantically exact.
+    """
+
+    def is_qdict(t):
+        return isinstance(t, dict) and ("q" in t or "q4p" in t)
+
+    def expand(param_leaf, spec):
+        if not is_qdict(param_leaf):
+            return spec
+        val_key = "q" if "q" in param_leaf else "q4p"
+        s_ndim = param_leaf["s"].ndim
+        return {val_key: spec, "s": P(*tuple(spec)[:s_ndim])}
+
+    return jax.tree_util.tree_map(
+        expand, params, specs, is_leaf=is_qdict
+    )

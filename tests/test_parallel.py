@@ -90,3 +90,34 @@ def test_fsdp_sharding_actually_shards():
     wq = sharded["layers"]["wq"]
     # a divisible dim got the 'data' axis (layer dim 2 is not divisible by 8)
     assert "data" in tuple(wq.sharding.spec)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_tp_sharded_quantized_forward_matches(bits):
+    """Quantized pytrees (int8 dicts / packed-int4 dicts) shard under TP via
+    expand_specs_for_quantized and bit-match the unsharded quantized
+    forward — int4 unpack is an op on the logical array, so sharding the
+    packed axis is semantically exact."""
+    from sjd_tpu.models.transformer import quantize_weights
+    from sjd_tpu.parallel.sharding import expand_specs_for_quantized
+
+    mesh = make_mesh(data=2, model=4)
+    params = quantize_weights(
+        init_params(jax.random.PRNGKey(0), CFG), bits=bits, config=CFG
+    )
+    specs = expand_specs_for_quantized(
+        params, decoder_param_specs(CFG, tp=True, fsdp=False)
+    )
+    sharded = apply_named_sharding(mesh, params, specs)
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 10), 0, 64)
+    pos = jnp.arange(10, dtype=jnp.int32)[None].repeat(4, 0)
+    rope = make_rope_table(CFG, 64)
+
+    want = forward_train(params, CFG, ids, pos, rope_table=rope, remat=False)
+    with jax.set_mesh(mesh):
+        got = jax.jit(
+            lambda p, i, q: forward_train(p, CFG, i, q, rope_table=rope, remat=False)
+        )(sharded, ids, pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
