@@ -46,9 +46,19 @@ def bench_emu3():
     h = w = int(os.environ.get("BENCH_EMU3_GRID", "90"))
     eng = emu3_engine(h=h, w=w, window=16, guidance_scale=3.0, image_top_k=2048)
     cfg = eng.model_cfg
-    params = jax.jit(lambda k: quantize_weights(init_params(k, cfg)))(
-        jax.random.PRNGKey(0)
-    )
+    # BENCH_QUANT: 4 = int4 W4A16 (default — the 8B is the most weight-bound
+    # config; int8 lm_head for acceptance fidelity), 1/8 = int8 W8A16.
+    # equilibrate=False: the fold makes every bf16 weight live at once inside
+    # the fused init+quantize jit (16 GB for the 8B -> HBM OOM), and it is a
+    # no-op on random weights (no outlier columns). Real-checkpoint loading
+    # quantizes host-side ported arrays where the fold costs nothing.
+    bits = 4 if os.environ.get("BENCH_QUANT", "4") == "4" else 8
+    params = jax.jit(
+        lambda k: quantize_weights(
+            init_params(k, cfg), bits=bits, head_bits=8, config=cfg,
+            equilibrate=False,
+        )
+    )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
     ids = build_gen_prompt(list(range(2000, 2024)), h, w, lambda s: [1500, 1501])
@@ -87,7 +97,12 @@ def bench_emu3():
     print(
         json.dumps(
             {
-                "metric": f"Emu3-Gen 8B {h}x{w} grid ({h*8}px) SJD end-to-end latency (CFG, window 16, int8 weights W8A16)",
+                "metric": (
+                    f"Emu3-Gen 8B {h}x{w} grid ({h*8}px) SJD end-to-end "
+                    "latency (CFG, window 16, "
+                    + ("int4 weights W4A16 (int8 head))"
+                       if bits == 4 else "int8 weights W8A16)")
+                ),
                 "value": round(latency, 2),
                 "unit": "s",
                 "vs_baseline": round(EMU3_BASELINE_S / latency, 3),

@@ -31,6 +31,41 @@ def sample_from_probs(rng: jax.Array, probs: jnp.ndarray) -> jnp.ndarray:
     return sample_from_logits(rng, logp)
 
 
+def kth_largest(scores: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """EXACT per-row k-th largest value over the last axis by radix select.
+
+    fp32 values map to monotonically ordered uint32 keys (the classic
+    sign-flip trick), then 32 bit-wise rounds build the largest threshold t
+    with count(key >= t) >= k — which is exactly the k-th largest key. Each
+    round is one fused compare+reduce pass over [.., V], so the cost is ~32
+    streaming passes instead of a full sort: measured on v5e, lax.top_k over
+    Emu3's 184622-token vocab costs 7.9 ms per decode step (38% of the whole
+    step) vs ~1 ms for this. Returns the same float the sort-based k-th
+    element would, so threshold filtering is bit-identical.
+
+    ``k`` broadcasts against the row shape (per-row k is free — the
+    interleaved image/text top-k needs no second pass).
+    """
+    rows = scores.shape[:-1]
+    u = jax.lax.bitcast_convert_type(scores.astype(jnp.float32), jnp.uint32)
+    sign = (u >> jnp.uint32(31)) > 0
+    key = jnp.where(sign, ~u, u | jnp.uint32(0x80000000))
+    k = jnp.broadcast_to(jnp.asarray(k, jnp.int32), rows)
+
+    def round_(i, t):
+        bit = jnp.left_shift(jnp.uint32(1), jnp.uint32(31) - i.astype(jnp.uint32))
+        cand = t | bit
+        cnt = jnp.sum(
+            (key >= cand[..., None]).astype(jnp.int32), axis=-1
+        )
+        return jnp.where(cnt >= k, cand, t)
+
+    t = jax.lax.fori_loop(0, 32, round_, jnp.zeros(rows, jnp.uint32))
+    neg = (t >> jnp.uint32(31)) == 0  # keys below 0x80000000 came from negatives
+    bits = jnp.where(neg, ~t, t ^ jnp.uint32(0x80000000))
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
 def top_k_dual(
     scores: jnp.ndarray,  # [B, W, V] fp32
     image_mode: jnp.ndarray,  # [B] bool — inside an image segment
@@ -42,34 +77,37 @@ def top_k_dual(
     decided per sample from committed tokens exactly like
     MultiTokensInterleavedTopKLogitsWarper (logit_processor_3dim.py:158-204).
 
-    One static top-k at max(image_top_k, text_top_k) provides both
-    thresholds; the per-sample threshold is selected with a `where`.
-    ``approx`` swaps lax.top_k for the TPU-optimized approx_max_k (measured
-    0.80 -> 0.34 ms at k=2000 over a 65k vocab; the k-th-value threshold may
-    occasionally admit/drop a borderline token, so the exact reference
-    sampler semantics stay the default).
+    The per-row k-th value comes from the exact radix select
+    (:func:`kth_largest`) in one pass — no sort, and per-row k means the
+    image/text threshold needs no second top-k. ``approx`` swaps in the
+    TPU approx_max_k (the k-th-value threshold may occasionally admit/drop a
+    borderline token; kept for parity with the documented opt-in).
     """
     V = scores.shape[-1]
     k_img = min(image_top_k, V)
     k_txt = min(text_top_k, V)
-    k_max = max(k_img, k_txt)
     if approx:
+        k_max = max(k_img, k_txt)
         vals = jax.lax.approx_max_k(
             scores, k_max, recall_target=0.95, aggregate_to_topk=True
         )[0]
+        thr_img = vals[..., k_img - 1]
+        thr_txt = vals[..., k_txt - 1]
+        thr = jnp.where(image_mode[:, None], thr_img, thr_txt)  # [B, W]
     else:
-        vals = jax.lax.top_k(scores, k_max)[0]  # [B, W, k_max] descending
-    thr_img = vals[..., k_img - 1]
-    thr_txt = vals[..., k_txt - 1]
-    thr = jnp.where(image_mode[:, None], thr_img, thr_txt)  # [B, W]
+        k_row = jnp.where(
+            image_mode[:, None], jnp.int32(k_img), jnp.int32(k_txt)
+        )  # [B, 1] -> broadcast over W
+        k_row = jnp.broadcast_to(k_row, scores.shape[:-1])
+        thr = kth_largest(scores, k_row)
     return jnp.where(scores < thr[..., None], NEG_INF, scores)
 
 
 def top_k_static(scores: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Plain top-k filter over the last axis."""
+    """Plain top-k filter over the last axis (exact radix select)."""
     V = scores.shape[-1]
     k = min(k, V)
-    thr = jax.lax.top_k(scores, k)[0][..., k - 1 :]
+    thr = kth_largest(scores, k)[..., None]
     return jnp.where(scores < thr, NEG_INF, scores)
 
 

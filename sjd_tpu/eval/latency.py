@@ -15,13 +15,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _fetch(out) -> None:
+    """True completion barrier: copy one leaf to host. block_until_ready
+    alone can return before the TPU tunnel actually finishes executing
+    (observed on the axon runtime: a 15 s generate "measured" 0.06 s)."""
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        np.asarray(jax.tree_util.tree_map(lambda x: x.ravel()[:1], leaves[0]))
+
+
 def _timeit(fn, *args, iters: int = 20, **kwargs) -> float:
     out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _fetch(out)
     return (time.time() - t0) / iters
 
 

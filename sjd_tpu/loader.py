@@ -78,9 +78,13 @@ def _build_decoder_params(model_cfg, ckpt_dir, quantize):
             params = jax.jit(quant, donate_argnums=(0,))(params)
         return params
     if quantize:
-        return jax.jit(lambda k: quant(init_params(k, model_cfg)))(
-            jax.random.PRNGKey(0)
-        )
+        # random-init path: skip int4 equilibration — it is a no-op on
+        # random weights (no outlier columns) and its folds make every bf16
+        # weight live at once inside the fused init+quantize jit (HBM OOM
+        # for the 8B). Checkpoint loads above keep it on.
+        return jax.jit(
+            lambda k: quant(init_params(k, model_cfg), equilibrate=False)
+        )(jax.random.PRNGKey(0))
     return jax.jit(lambda k: init_params(k, model_cfg))(jax.random.PRNGKey(0))
 
 

@@ -512,6 +512,11 @@ def quantize_weights(
     (e.g. ``jax.jit(lambda k: quantize_weights(init_params(k, cfg)))`` or on
     host-side numpy arrays from checkpoint porting) so bf16 and int8 copies
     never coexist in HBM — 7B bf16 + int8 together exceed a v5e chip.
+    CAUTION: with equilibrate=True the fold ties every projection's liveness
+    together (c vectors cross weights), so the fused-on-device build needs
+    all bf16 weights resident at once — fine for 7B (13 GB), OOM for the 8B
+    Emu3 on one 16 GB chip. Quantize host-side (checkpoint port) or pass
+    equilibrate=False there.
     """
     big = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"}
 

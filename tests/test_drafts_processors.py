@@ -159,3 +159,40 @@ def test_sequential_window_decomposer_conditions_on_sampled_tokens():
     # the engine's parallel grammar, by contrast, leaves row 3 unconstrained
     par = np.asarray(G.apply_grammar(spec, g0, jnp.asarray(scores)))
     assert par[0, 3, 60] == scores[0, 3, 60]
+
+
+def test_kth_largest_bit_identical_to_sort():
+    """The radix-select k-th value (the hot-path top-k: no sort, ~20x faster
+    on the Emu3 184k vocab) returns the exact float the sort would, including
+    -inf rows, duplicates, and per-row k."""
+    import numpy as np
+
+    from sjd_tpu.core.sampling import kth_largest, top_k_dual, top_k_static
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(3, 5, 257).astype(np.float32)
+    x[0, 0, :50] = -np.inf
+    x[1, 2, 10] = x[1, 2, 20]
+    xs = jnp.asarray(x)
+    for k in (1, 2, 7, 130, 257):
+        want = np.sort(x, axis=-1)[..., ::-1][..., k - 1]
+        got = np.asarray(kth_largest(xs, k))
+        np.testing.assert_array_equal(got, want)
+    # per-row k
+    k_row = jnp.asarray(rs.randint(1, 257, size=(3, 5)), jnp.int32)
+    want = np.take_along_axis(
+        np.sort(x, axis=-1)[..., ::-1], np.asarray(k_row)[..., None] - 1, axis=-1
+    )[..., 0]
+    np.testing.assert_array_equal(np.asarray(kth_largest(xs, k_row)), want)
+
+    # threshold filters match the previous sort-based implementation bit-wise
+    im = jnp.asarray([True, False, True])
+    vals = jax.lax.top_k(xs, 50)[0]
+    thr = jnp.where(im[:, None], vals[..., 49], vals[..., 6])
+    old = jnp.where(xs < thr[..., None], float(jnp.finfo(jnp.float32).min), xs)
+    np.testing.assert_array_equal(
+        np.asarray(top_k_dual(xs, im, 50, 7)), np.asarray(old)
+    )
+    thr13 = jax.lax.top_k(xs, 13)[0][..., 12:]
+    old13 = jnp.where(xs < thr13, float(jnp.finfo(jnp.float32).min), xs)
+    np.testing.assert_array_equal(np.asarray(top_k_static(xs, 13)), np.asarray(old13))
