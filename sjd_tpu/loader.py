@@ -69,7 +69,12 @@ def _build_decoder_params(model_cfg, ckpt_dir, quantize):
     from sjd_tpu.models.transformer import quantize_weights
 
     bits = 4 if quantize in (4, "4", "int4") else 8
-    quant = functools.partial(quantize_weights, bits=bits, config=model_cfg)
+    # int4 keeps the lm_head at int8: ~2% of weight bytes, but its logits
+    # feed the speculative-acceptance test directly (bench NFE 1218 with an
+    # int4 head vs 1155 with int8; reference 1115).
+    quant = functools.partial(
+        quantize_weights, bits=bits, head_bits=8, config=model_cfg
+    )
     if ckpt_dir:
         from sjd_tpu.utils.port import port_hf_llama_like
 
