@@ -44,7 +44,9 @@ def bench_emu3():
     from sjd_tpu.models.transformer import quantize_weights
 
     h = w = int(os.environ.get("BENCH_EMU3_GRID", "90"))
-    eng = emu3_engine(h=h, w=w, window=16, guidance_scale=3.0, image_top_k=2048)
+    init = os.environ.get("BENCH_INIT", "repeat_horizon")
+    eng = emu3_engine(h=h, w=w, window=16, guidance_scale=3.0,
+                      image_top_k=2048, init=init)
     cfg = eng.model_cfg
     # BENCH_QUANT: 4 = int4 W4A16 (default — the 8B is the most weight-bound
     # config; int8 lm_head for acceptance fidelity), 1/8 = int8 W8A16.
@@ -100,8 +102,9 @@ def bench_emu3():
                 "metric": (
                     f"Emu3-Gen 8B {h}x{w} grid ({h*8}px) SJD end-to-end "
                     "latency (CFG, window 16, "
-                    + ("int4 weights W4A16 (int8 head))"
-                       if bits == 4 else "int8 weights W8A16)")
+                    + ("int4 weights W4A16 (int8 head)"
+                       if bits == 4 else "int8 weights W8A16")
+                    + (f", init={init})" if init != "random" else ")")
                 ),
                 "value": round(latency, 2),
                 "unit": "s",

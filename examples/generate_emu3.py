@@ -19,6 +19,10 @@ def main():
     ap.add_argument("--image-top-k", type=int, default=2048)
     ap.add_argument("--scheme", default="speculative_jacobi")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--quantize", nargs="?", const="8", default=None,
+                    choices=["4", "8"],
+                    help="quantized weight serving: 8 = int8 W8A16, "
+                         "4 = int4 W4A16")
     ap.add_argument("--out", default="emu3_sjd.png")
     args = ap.parse_args()
 
@@ -36,6 +40,9 @@ def main():
         guidance_scale=args.cfg,
         image_top_k=args.image_top_k,
         scheme=args.scheme,
+        **(
+            {"quantize": int(args.quantize)} if args.quantize else {}
+        ),  # emu3 defaults to int8 (8B HBM); 4 = int4 W4A16
     )
     t0 = time.time()
     image = model.sample_fn(args.prompt, rng_seed=args.seed)

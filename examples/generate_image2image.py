@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--cfg", type=float, default=3.0)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--quantize", nargs="?", const="8", default=None,
+                    choices=["4", "8"],
+                    help="quantized weight serving: 8 = int8 W8A16, "
+                         "4 = int4 W4A16")
     ap.add_argument("--out", default="lumina_i2i.png")
     args = ap.parse_args()
 
@@ -66,6 +70,7 @@ def main():
         guidance_scale=args.cfg,
         seed=args.seed,
         tokenizer=tokenizer,
+        quantize=int(args.quantize) if args.quantize else False,
     )
 
     if args.image:

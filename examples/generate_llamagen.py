@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--image-top-k", type=int, default=1000)
     ap.add_argument("--scheme", default="speculative_jacobi")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--quantize", nargs="?", const="8", default=None,
+                    choices=["4", "8"],
+                    help="quantized weight serving: 8 = int8 W8A16, "
+                         "4 = int4 W4A16")
     ap.add_argument("--out", default="llamagen_sjd.png")
     args = ap.parse_args()
 
@@ -41,6 +45,7 @@ def main():
         image_top_k=args.image_top_k,
         scheme=args.scheme,
         t5_dir=args.t5_dir,
+        quantize=int(args.quantize) if args.quantize else False,
     )
     t0 = time.time()
     image = model.sample_fn(args.prompt, rng_seed=args.seed)

@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--init", default="random",
                     choices=["random", "repeat_horizon", "sample_horizon"])
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--quantize", nargs="?", const="8", default=None,
+                    choices=["4", "8"],
+                    help="quantized weight serving: 8 = int8 W8A16, "
+                         "4 = int4 W4A16")
     ap.add_argument("--num-repeats", type=int, default=1,
                     help=">1 tiles repeats into a grid (generate_examples/generate.py)")
     ap.add_argument("--out", default="lumina_sjd.png")
@@ -47,6 +51,7 @@ def main():
         scheme=args.scheme,
         init=args.init,
         seed=args.seed,
+        quantize=int(args.quantize) if args.quantize else False,
     )
     t0 = time.time()
     if args.num_repeats > 1:
