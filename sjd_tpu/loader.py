@@ -59,10 +59,11 @@ def _image_to_array(image) -> np.ndarray:
 def _build_decoder_params(model_cfg, ckpt_dir, quantize):
     """Port (or random-init) decoder params, optionally with quantized
     weights. ``quantize``: False = bf16; True or 8 = int8 W8A16 (the serving
-    default; DecoderConfig.act_quant); 4 or "int4" = int4 with group-128
-    scales (half the weight HBM reads — see quantize_weights). Quantization
-    is fused with init/port so bf16 and quantized copies never coexist in
-    HBM (7B bf16 + int8 exceed one v5e chip)."""
+    default; DecoderConfig.act_quant); 4 or "int4" = packed int4 W4A16 with
+    per-channel scales + equilibration and an int8 lm_head (half the weight
+    HBM reads — see quantize_weights). Quantization is fused with init/port
+    so bf16 and quantized copies never coexist in HBM (7B bf16 + int8
+    exceed one v5e chip)."""
     import functools
 
     from sjd_tpu.models import init_params
@@ -397,6 +398,7 @@ def load_llamagen(
     scheme: str = "speculative_jacobi",
     init: str = "random",
     t5_dir: Optional[str] = None,
+    quantize=False,
 ) -> LoadedModel:
     from sjd_tpu.models import init_params
     from sjd_tpu.models.llamagen import (
@@ -420,10 +422,21 @@ def load_llamagen(
         from sjd_tpu.utils.port import load_torch_checkpoint, port_llamagen
 
         params, cond = port_llamagen(load_torch_checkpoint(gpt_ckpt), eng.model_cfg)
+        if quantize:
+            import functools
+
+            from sjd_tpu.models.transformer import quantize_weights
+
+            bits = 4 if quantize in (4, "4", "int4") else 8
+            params = jax.jit(
+                functools.partial(
+                    quantize_weights, bits=bits, head_bits=8,
+                    config=eng.model_cfg,
+                ),
+                donate_argnums=(0,),
+            )(params)
     else:
-        params = jax.jit(lambda k: init_params(k, eng.model_cfg))(
-            jax.random.PRNGKey(0)
-        )
+        params = _build_decoder_params(eng.model_cfg, None, quantize)
         cond = init_cond_params(jax.random.PRNGKey(1), eng.model_cfg,
                                 model_type=model_type)
     vq_cfg = LLAMAGEN_VQ16
