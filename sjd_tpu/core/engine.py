@@ -118,6 +118,8 @@ class SJDEngine:
         config: EngineConfig,
         grammar_spec: grammar_lib.GrammarSpec,
         sampling_params: processors_lib.SamplingParams,
+        *,
+        ar_fast_path: bool = False,
     ):
         self.model = model
         self.config = config
@@ -136,8 +138,11 @@ class SJDEngine:
         # (_continue_impl), but measured on v5e the T=1 forward is SLOWER
         # than the T=16 one (17.1 vs 15.3 ms — partial-tile KV scatters and
         # skinny matmuls beat the saved FLOPs), so the wide step is the
-        # default; flip for hardware where narrow steps win.
-        self.ar_fast_path = False
+        # default; pass ar_fast_path=True at CONSTRUCTION for hardware where
+        # narrow steps win (the flag is baked into the traced while_loop at
+        # the first generate/resume — flipping the attribute afterwards hits
+        # the jit cache and is silently ignored).
+        self.ar_fast_path = ar_fast_path
         # nfe_cap is a *traced* operand of the while_loop condition: one
         # compile serves every max_steps/resume budget (no per-cap recompile).
         self._generate = jax.jit(self._generate_impl)
@@ -307,9 +312,16 @@ class SJDEngine:
         # a commit may overshoot max_len by W-1 before the finish check, and
         # finished rows keep issuing (never-read) W-wide writes at their
         # frozen length — so the default sizing budgets max_len + 2W + P.
+        # Under cfg_mode="neg_prompt" BOTH prompts are left-padded to their
+        # common width before prefill, so the budget must use that width — a
+        # negative prompt longer than the positive one otherwise overflows
+        # the buffer (crash) or trips the room guard early (truncated image).
         # An explicit buf_len is honored as given; the padded-length finish
         # guard in _step keeps writes in bounds either way (ADVICE r1).
-        L_buf = cfg.resolved_buf_len(P)
+        P_rows = P
+        if cfg.cfg_mode == "neg_prompt" and self.sampling.do_cfg:
+            P_rows = max(P, neg_prompt.shape[1])
+        L_buf = cfg.resolved_buf_len(P_rows)
         # round the KV buffer to whole 512-row chunks so the live-prefix
         # chunked attention path (models/transformer.py:_attend_chunked)
         # divides exactly; a few extra int8 rows cost ~nothing

@@ -69,29 +69,64 @@ def _build_decoder_params(model_cfg, ckpt_dir, quantize):
     from sjd_tpu.models import init_params
     from sjd_tpu.models.transformer import quantize_weights
 
-    bits = 4 if quantize in (4, "4", "int4") else 8
-    # int4 keeps the lm_head at int8: ~2% of weight bytes, but its logits
-    # feed the speculative-acceptance test directly (bench NFE 1218 with an
-    # int4 head vs 1155 with int8; reference 1115).
-    quant = functools.partial(
-        quantize_weights, bits=bits, head_bits=8, config=model_cfg
-    )
     if ckpt_dir:
         from sjd_tpu.utils.port import port_hf_llama_like
 
         params = port_hf_llama_like(_load_sharded_state(ckpt_dir), model_cfg)
         if quantize:
-            params = jax.jit(quant, donate_argnums=(0,))(params)
+            params = quantize_ported_params(params, model_cfg, quantize)
         return params
     if quantize:
         # random-init path: skip int4 equilibration — it is a no-op on
         # random weights (no outlier columns) and its folds make every bf16
         # weight live at once inside the fused init+quantize jit (HBM OOM
-        # for the 8B). Checkpoint loads above keep it on.
+        # for the 8B). Checkpoint loads quantize host-side and keep it on.
+        import functools
+
+        from sjd_tpu.models.transformer import quantize_weights
+
+        bits = 4 if quantize in (4, "4", "int4") else 8
+        quant = functools.partial(
+            quantize_weights, bits=bits, head_bits=8, config=model_cfg
+        )
         return jax.jit(
             lambda k: quant(init_params(k, model_cfg), equilibrate=False)
         )(jax.random.PRNGKey(0))
     return jax.jit(lambda k: init_params(k, model_cfg))(jax.random.PRNGKey(0))
+
+
+def quantize_ported_params(params: PyTree, model_cfg, quantize) -> PyTree:
+    """Quantize a ported (checkpoint) pytree for serving.
+
+    ``quantize``: True/8 = int8 W8A16, 4/"int4" = packed int4 W4A16 with an
+    int8 lm_head (the head's logits feed speculative acceptance directly —
+    bench NFE 1218 with an int4 head vs 1155 with int8; reference 1115).
+
+    Runs on the host CPU backend when one is available: the int4
+    equilibration folds tie every bf16 projection's liveness together, so an
+    on-device fused quantize needs ALL bf16 weights resident at once — fine
+    for 7B (13 GB), OOM for the 8B Emu3 on one 16 GB chip. Quantizing on CPU
+    and transferring only the quantized pytree (3.5-9 GB) sidesteps that for
+    every model size. Falls back to an on-device donated jit when no CPU
+    backend exists.
+    """
+    import functools
+
+    from sjd_tpu.models.transformer import quantize_weights
+
+    bits = 4 if quantize in (4, "4", "int4") else 8
+    quant = functools.partial(
+        quantize_weights, bits=bits, head_bits=8, config=model_cfg
+    )
+    try:
+        cpu = jax.local_devices(backend="cpu")
+    except RuntimeError:
+        cpu = []
+    if cpu:
+        with jax.default_device(cpu[0]):
+            params = jax.jit(quant)(params)
+        return jax.device_put(params)
+    return jax.jit(quant, donate_argnums=(0,))(params)
 
 
 def _load_sharded_state(ckpt_dir: str) -> dict:
@@ -423,18 +458,7 @@ def load_llamagen(
 
         params, cond = port_llamagen(load_torch_checkpoint(gpt_ckpt), eng.model_cfg)
         if quantize:
-            import functools
-
-            from sjd_tpu.models.transformer import quantize_weights
-
-            bits = 4 if quantize in (4, "4", "int4") else 8
-            params = jax.jit(
-                functools.partial(
-                    quantize_weights, bits=bits, head_bits=8,
-                    config=eng.model_cfg,
-                ),
-                donate_argnums=(0,),
-            )(params)
+            params = quantize_ported_params(params, eng.model_cfg, quantize)
     else:
         params = _build_decoder_params(eng.model_cfg, None, quantize)
         cond = init_cond_params(jax.random.PRNGKey(1), eng.model_cfg,

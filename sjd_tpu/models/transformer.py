@@ -294,7 +294,7 @@ def _dot_last(x: jnp.ndarray, w: jnp.ndarray, out_dtype) -> jnp.ndarray:
     )
 
 
-def linear(x: jnp.ndarray, w, act_quant: str = "int8") -> jnp.ndarray:
+def linear(x: jnp.ndarray, w, act_quant: str = "bf16") -> jnp.ndarray:
     """x [..., in] @ w [out, in] -> [..., out] (torch weight layout).
 
     ``w`` may be a quantized dict {"q": int8 [out, in], "s": f32 [out]}
@@ -358,7 +358,7 @@ def unpack_int4_params(params: PyTree) -> PyTree:
     return jax.tree.map(unp, params, is_leaf=is_q)
 
 
-def linear_multi(x: jnp.ndarray, ws, act_quant: str = "int8"):
+def linear_multi(x: jnp.ndarray, ws, act_quant: str = "bf16"):
     """Several projections of the SAME input (qkv, gate/up): the activation
     quantization chain runs once and is shared across the dots — the chain
     (fp32 convert, abs-max reduce, scale, round, clip) is a fusion barrier
@@ -796,9 +796,12 @@ def forward(
     """
     S, T = ids.shape
     L_buf = kv.buf_len
-    # packed-int4 leaves: unpack the stacked arrays HERE (outside the layer
-    # scan, inside the decode while_loop body -> loop-invariant -> hoisted;
-    # see unpack_int4_params)
+    # packed-int4 fallback for DIRECT forward() callers (tests, latency
+    # probes): unpack the stacked arrays before the layer scan. This runs
+    # once per forward; XLA does NOT hoist it out of an enclosing
+    # while_loop (measured - see unpack_int4_params), so serving loops must
+    # pre-unpack outside the loop the way SJDEngine does (after which this
+    # is a no-op).
     params = unpack_int4_params(params)
 
     if inputs_embeds is not None:
@@ -995,9 +998,12 @@ def forward_train(
 
     def layer(h, p):
         def attn_block(x):
-            q = linear(x, p["wq"]).reshape(B, T, cfg.num_heads, cfg.head_dim)
-            k = linear(x, p["wk"]).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-            v = linear(x, p["wv"]).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+            q = linear(x, p["wq"], cfg.act_quant).reshape(
+                B, T, cfg.num_heads, cfg.head_dim)
+            k = linear(x, p["wk"], cfg.act_quant).reshape(
+                B, T, cfg.num_kv_heads, cfg.head_dim)
+            v = linear(x, p["wv"], cfg.act_quant).reshape(
+                B, T, cfg.num_kv_heads, cfg.head_dim)
             if cfg.qk_norm:
                 q = head_layer_norm(
                     q, p["q_norm_scale"], p["q_norm_bias"], cfg.qk_norm_eps
@@ -1007,13 +1013,17 @@ def forward_train(
                 )
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            return linear(_attend(q, k, v, mask).reshape(B, T, cfg.q_dim), p["wo"])
+            return linear(
+                _attend(q, k, v, mask).reshape(B, T, cfg.q_dim),
+                p["wo"], cfg.act_quant,
+            )
 
         def mlp_block(x):
-            g = linear(x, p["w_gate"])
-            u = linear(x, p["w_up"])
+            g = linear(x, p["w_gate"], cfg.act_quant)
+            u = linear(x, p["w_up"], cfg.act_quant)
             return linear(
-                jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u, p["w_down"]
+                jax.nn.silu(g.astype(jnp.float32)).astype(u.dtype) * u,
+                p["w_down"], cfg.act_quant,
             )
 
         if cfg.swin_norm:
@@ -1031,4 +1041,4 @@ def forward_train(
         return jnp.einsum(
             "btd,vd->btv", h, params["embed"], preferred_element_type=jnp.float32
         ).astype(jnp.float32)
-    return linear(h, params["lm_head"]).astype(jnp.float32)
+    return linear(h, params["lm_head"], cfg.act_quant).astype(jnp.float32)

@@ -108,3 +108,21 @@ def test_bucketed_attention_matches_full():
                            jnp.asarray([[1, 2, 3], [4, 5, 6]], jnp.int32))
         outs[buckets] = np.asarray(res.tokens)
     np.testing.assert_array_equal(outs[0], outs[8])
+
+
+def test_neg_prompt_longer_than_positive():
+    """cfg_mode="neg_prompt" left-pads BOTH prompts to their common width;
+    the token/KV buffers must budget for that width — a negative prompt much
+    longer than the positive one used to overflow the buffer (crash) or trip
+    the room guard early (silently truncated generation)."""
+    import numpy as np
+
+    eng = make_engine(window=4, max_len=24, cfg_mode="neg_prompt")
+    params = tiny_params()
+    pos = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    neg = jnp.asarray([list(range(1, 41))], jnp.int32)  # Pn=40 >> P=4
+    res = eng.generate(params, jax.random.PRNGKey(0), pos, neg_prompt=neg)
+    toks = np.asarray(res.tokens)
+    # full generation: real length reaches max_len (may overshoot < window)
+    assert int(res.gen_count[0]) >= 24 - 4, int(res.gen_count[0])
+    assert toks.max() < TINY.vocab_size and toks.min() >= 0
