@@ -145,8 +145,12 @@ class SJDEngine:
         self.ar_fast_path = ar_fast_path
         # nfe_cap is a *traced* operand of the while_loop condition: one
         # compile serves every max_steps/resume budget (no per-cap recompile).
+        # resume donates the incoming EngineState: its KV buffers are multi-GB
+        # and alias the outputs in place — without donation every chunked
+        # dispatch transiently holds TWO copies (a ~4.4 GB HBM spike on the
+        # Emu3 8B 720p cache) plus the copy traffic.
         self._generate = jax.jit(self._generate_impl)
-        self._continue = jax.jit(self._continue_impl)
+        self._continue = jax.jit(self._continue_impl, donate_argnums=(1,))
 
     # -- public API -----------------------------------------------------------
 
@@ -210,7 +214,11 @@ class SJDEngine:
     def resume(self, params: PyTree, state: EngineState,
                max_steps: Optional[int] = None, return_state: bool = False):
         """Continue a generation returned with return_state=True for up to
-        ``max_steps`` more forwards."""
+        ``max_steps`` more forwards.
+
+        The incoming ``state`` is DONATED (its device buffers are reused in
+        place); keep only the returned state, in the standard
+        ``res, state = eng.resume(params, state, ...)`` pattern."""
         cap = int(state.nfe) + (
             max_steps if max_steps is not None else self.config.resolved_nfe_cap()
         )

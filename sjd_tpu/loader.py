@@ -64,10 +64,7 @@ def _build_decoder_params(model_cfg, ckpt_dir, quantize):
     HBM reads — see quantize_weights). Quantization is fused with init/port
     so bf16 and quantized copies never coexist in HBM (7B bf16 + int8
     exceed one v5e chip)."""
-    import functools
-
     from sjd_tpu.models import init_params
-    from sjd_tpu.models.transformer import quantize_weights
 
     if ckpt_dir:
         from sjd_tpu.utils.port import port_hf_llama_like
@@ -301,9 +298,15 @@ def load_emu3(
     )
     params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
     vq_cfg = EMU3_VQ
-    vq_params = None
     if vq_ckpt_dir:
         vq_params = port_emu3_vq(_load_sharded_state(vq_ckpt_dir), vq_cfg)
+    else:
+        # checkpoint-free fallback: random VQ params with the exact ported
+        # structure (structure-equality tested vs the torch reference) so the
+        # full pipeline stays drivable like the other families (VQ noise).
+        from sjd_tpu.models.vq.emu3_port import init_emu3_vq_params
+
+        vq_params = init_emu3_vq_params(1, vq_cfg)
 
     if positive_suffix is None:
         positive_suffix = DEFAULT_POSITIVE_SUFFIX
@@ -339,8 +342,6 @@ def load_emu3(
         )
         toks = res.tokens[0, : int(res.length[0])].tolist()
         grid = extract_image_grid(toks)
-        if vq_params is None:
-            raise RuntimeError("emu3 VQ checkpoint required to decode pixels")
         pixels = emu3_decode(vq_params, vq_cfg, jnp.asarray(grid[None]))
         return _to_pil(np.asarray(pixels[0]))
 
@@ -389,7 +390,6 @@ def load_emu3(
         normalized [-1, 1] array; returns generated token ids (decode with
         the tokenizer)."""
         assert tokenizer is not None, "understanding mode needs the tokenizer"
-        assert vq_params is not None, "understanding mode needs the VQ"
         from sjd_tpu.data.emu3_processor import build_understanding_prompt
         from sjd_tpu.models.emu3 import PAD_ID
         from sjd_tpu.models.vq.emu3_vq import encode as emu3_encode

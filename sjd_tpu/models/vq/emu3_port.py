@@ -183,3 +183,130 @@ def port_emu3_vq(sd: Mapping[str, np.ndarray], cfg: Emu3VQConfig) -> Dict:
         "quant_conv_w": qw, "quant_conv_b": qb,
         "post_quant_conv_w": pw, "post_quant_conv_b": pb,
     }
+
+
+def init_emu3_vq_params(seed: int, cfg: Emu3VQConfig) -> Dict:
+    """Random-init Emu3VisionVQ params with the exact checkpoint structure.
+
+    Builds a synthetic torch-layout state dict following the reference
+    module's construction rules (emu3/tokenizer/modeling_emu3visionvq.py:
+    encoder :476-556, decoder :598-681, quant convs :759-760) and routes it
+    through :func:`port_emu3_vq`, so the ported and random-init pytrees are
+    structurally identical by construction. This keeps the Emu3 pipeline
+    drivable checkpoint-free (VQ-noise images) like the other families.
+    """
+    rs = np.random.RandomState(seed)
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv2d(name, co, ci, k):
+        sd[f"{name}.weight"] = rs.randn(co, ci, k, k).astype(np.float32) * 0.05
+        sd[f"{name}.bias"] = np.zeros(co, np.float32)
+
+    def conv3d(name, co, ci, kt, kh, kw):
+        sd[f"{name}.weight"] = (
+            rs.randn(co, ci, kt, kh, kw).astype(np.float32) * 0.05
+        )
+        sd[f"{name}.bias"] = np.zeros(co, np.float32)
+
+    def gn(name, c):
+        sd[f"{name}.weight"] = np.ones(c, np.float32)
+        sd[f"{name}.bias"] = np.zeros(c, np.float32)
+
+    def bn(name, c):
+        gn(name, c)
+        sd[f"{name}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{name}.running_var"] = np.ones(c, np.float32)
+
+    def spatial(name, f, zq):
+        gn(f"{name}.norm_layer", f)
+        conv2d(f"{name}.conv_y", f, zq, 1)
+        conv2d(f"{name}.conv_b", f, zq, 1)
+
+    def res2d(base, ci, co, zq=None):
+        if zq is None:
+            gn(f"{base}.norm1", ci)
+            gn(f"{base}.norm2", co)
+        else:
+            spatial(f"{base}.norm1", ci, zq)
+            spatial(f"{base}.norm2", co, zq)
+        conv2d(f"{base}.conv1", co, ci, 3)
+        conv2d(f"{base}.conv2", co, co, 3)
+        if ci != co:
+            conv2d(f"{base}.nin_shortcut", co, ci, 1)
+
+    def attn2d(base, c, zq=None):
+        if zq is None:
+            gn(f"{base}.norm", c)
+        else:
+            spatial(f"{base}.norm", c, zq)
+        for nm in ("q", "k", "v", "proj_out"):
+            conv2d(f"{base}.{nm}", c, c, 1)
+
+    def tres(base, ci, co):
+        bn(f"{base}.norm1", ci)
+        bn(f"{base}.norm2", co)
+        conv3d(f"{base}.conv1.conv", co, ci, 3, 3, 3)
+        conv3d(f"{base}.conv2.conv", co, co, 3, 3, 3)
+        if ci != co:
+            conv3d(f"{base}.nin_shortcut", co, ci, 1, 1, 1)
+
+    import math
+
+    ch, z, zq = cfg.ch, cfg.z_channels, cfg.embed_dim
+    n = cfg.num_resolutions
+    nrb = cfg.num_res_blocks
+    in_mult = (1,) + tuple(cfg.ch_mult)
+    t_blocks = int(math.log2(cfg.temporal_downsample_factor))
+
+    # encoder
+    conv2d("encoder.conv_in", ch, 3, 3)
+    for i in range(n):
+        block_in = ch * in_mult[i]
+        block_out = ch * cfg.ch_mult[i]
+        for j in range(nrb):
+            res2d(f"encoder.down.{i}.block.{j}", block_in if j == 0 else block_out,
+                  block_out)
+            if i in cfg.attn_levels:
+                attn2d(f"encoder.down.{i}.attn.{j}", block_out)
+        if i != n - 1:
+            conv2d(f"encoder.down.{i}.downsample.conv", block_out, block_out, 3)
+    mid = ch * cfg.ch_mult[-1]
+    res2d("encoder.mid.block_1", mid, mid)
+    attn2d("encoder.mid.attn_1", mid)
+    res2d("encoder.mid.block_2", mid, mid)
+    gn("encoder.norm_out", mid)
+    conv2d("encoder.conv_out", z, mid, 3)
+    for i in range(t_blocks):
+        conv3d(f"encoder.time_conv.{i}.conv.conv", z, z, 4, 3, 3)
+    for j in range(nrb):
+        tres(f"encoder.time_res_stack.{j}", z, z)
+
+    # decoder
+    for j in range(nrb):
+        tres(f"decoder.time_res_stack.{j}", z, z)
+    for i in range(t_blocks):
+        conv3d(f"decoder.time_conv.{i}.conv.conv", z, z, 3, 3, 3)
+    conv2d("decoder.conv_in", mid, z, 3)
+    res2d("decoder.mid.block_1", mid, mid, zq)
+    attn2d("decoder.mid.attn_1", mid, zq)
+    res2d("decoder.mid.block_2", mid, mid, zq)
+    block_in = mid
+    for lvl in reversed(range(n)):
+        block_out = ch * cfg.ch_mult[lvl]
+        for j in range(nrb + 1):
+            res2d(f"decoder.up.{lvl}.block.{j}", block_in if j == 0 else block_out,
+                  block_out, zq)
+            if lvl in cfg.attn_levels:
+                attn2d(f"decoder.up.{lvl}.attn.{j}", block_out, zq)
+        block_in = block_out
+        if lvl != 0:
+            conv2d(f"decoder.up.{lvl}.upsample.conv", block_in, block_in, 3)
+    spatial("decoder.norm_out", block_in, zq)
+    conv2d("decoder.conv_out", 3, block_in, 3)
+
+    sd["quantize.embedding.weight"] = (
+        rs.randn(cfg.codebook_size, zq).astype(np.float32) * 0.05
+    )
+    conv3d("quant_conv.conv", zq, z, 3, 1, 1)
+    conv3d("post_quant_conv.conv", z, zq, 3, 1, 1)
+    return port_emu3_vq(sd, cfg)

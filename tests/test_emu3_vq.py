@@ -11,6 +11,7 @@ import sys
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
@@ -64,3 +65,17 @@ def test_encode_parity(ref_model):
     got = encode(params, CFG, jnp.asarray(img.transpose(0, 2, 3, 1)))
     agree = (np.asarray(got) == want).mean()
     assert agree > 0.97, agree  # argmin ties may differ at fp tolerance
+
+
+def test_random_init_structure_matches_ported(ref_model):
+    """init_emu3_vq_params builds the EXACT pytree the checkpoint port
+    produces (structure and shapes), so the checkpoint-free loader fallback
+    can never drift from the real model layout."""
+    from sjd_tpu.models.vq.emu3_port import init_emu3_vq_params
+
+    ported = port_emu3_vq(state_dict_to_numpy(ref_model.state_dict()), CFG)
+    rand = init_emu3_vq_params(0, CFG)
+    assert jax.tree_util.tree_structure(ported) == jax.tree_util.tree_structure(rand)
+    assert jax.tree.map(lambda t: t.shape, ported) == jax.tree.map(
+        lambda t: t.shape, rand
+    )

@@ -128,3 +128,24 @@ def test_llamagen_full_roundtrip_shapes():
     ids = jax.random.randint(jax.random.PRNGKey(4), (1, 4 * 4), 0, 64)
     out = decode(params, cfg, ids, (4, 4))
     assert out.shape == (1, 64, 64, 3)
+
+
+def test_emu3_random_init_decode_encode_run():
+    """Checkpoint-free Emu3 VQ fallback (loader parity with the other
+    families): random-init params decode ids -> pixels and encode back."""
+    import numpy as np
+
+    from sjd_tpu.models.vq.emu3_vq import Emu3VQConfig, decode, encode
+    from sjd_tpu.models.vq.emu3_port import init_emu3_vq_params
+
+    cfg = Emu3VQConfig(codebook_size=64, embed_dim=4, z_channels=4, ch=32,
+                       ch_mult=(1, 2), num_res_blocks=1, attn_levels=(1,),
+                       temporal_downsample_factor=4)
+    params = init_emu3_vq_params(0, cfg)
+    ids = np.random.RandomState(0).randint(0, 64, (1, 6, 5))
+    px = decode(params, cfg, jnp.asarray(ids))
+    assert px.shape == (1, 12, 10, 3)
+    toks = encode(params, cfg, jnp.asarray(
+        np.random.RandomState(1).randn(1, 16, 16, 3).astype(np.float32) * 0.3))
+    assert toks.shape == (1, 8, 8)
+    assert int(jnp.max(toks)) < 64 and int(jnp.min(toks)) >= 0
