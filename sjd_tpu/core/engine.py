@@ -99,6 +99,7 @@ class EngineState(NamedTuple):
     steps_multi: jnp.ndarray  # scalar int32 — forwards with window > 1
     prompt_len: jnp.ndarray  # [B] real (unpadded) prompt length
     prompt_rows: jnp.ndarray  # scalar int32 — padded prompt rows in `tokens`
+    accept_hist: jnp.ndarray  # [W+1] int32 — decode steps by accepted length
 
 
 class GenerateResult(NamedTuple):
@@ -107,6 +108,11 @@ class GenerateResult(NamedTuple):
     nfe: jnp.ndarray  # scalar — number of model forwards
     steps_multi: jnp.ndarray
     gen_count: jnp.ndarray  # [B] tokens generated
+    # acceptance-length histogram over decode steps x live samples: bin k =
+    # how often speculative acceptance committed exactly k tokens (the
+    # on-device observability counter behind GenerationStats.accept_rate —
+    # the reference only prints totals, jacobi_iteration_lumina_mgpt.py:1213)
+    accept_hist: jnp.ndarray  # [W+1] int32
 
 
 class SJDEngine:
@@ -233,6 +239,7 @@ class SJDEngine:
             nfe=state.nfe,
             steps_multi=state.steps_multi,
             gen_count=state.length - state.prompt_rows,
+            accept_hist=state.accept_hist,
         )
 
     # -- implementation --------------------------------------------------------
@@ -442,6 +449,7 @@ class SJDEngine:
             steps_multi=jnp.int32(0),
             prompt_len=prompt_len_real.astype(jnp.int32),
             prompt_rows=jnp.int32(P),
+            accept_hist=jnp.zeros((W + 1,), jnp.int32),
         )
 
         # ---- decode loop -----------------------------------------------------
@@ -536,6 +544,10 @@ class SJDEngine:
             raise ValueError(f"unknown scheme {cfg.scheme!r}")
 
         n_eff = jnp.where(st.finished, 0, res.n).astype(jnp.int32)
+        live = (~st.finished).astype(jnp.int32)
+        hist_inc = jnp.sum(
+            jax.nn.one_hot(n_eff, W + 1, dtype=jnp.int32) * live[:, None], axis=0
+        )
 
         # ---- commit -----------------------------------------------------------
         def commit_row(buf, out, off):
@@ -587,4 +599,5 @@ class SJDEngine:
             steps_multi=st.steps_multi + jnp.any(active_w > 1).astype(jnp.int32),
             prompt_len=st.prompt_len,
             prompt_rows=st.prompt_rows,
+            accept_hist=st.accept_hist + hist_inc,
         )

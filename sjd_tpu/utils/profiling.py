@@ -50,16 +50,21 @@ class GenerationStats:
     nfe: int  # "gen loop num (NFE)"
     tokens: int  # "tokens length"
     accept_rate: float  # mean committed tokens per forward
+    # per-step acceptance-length histogram (bin k = decode steps that
+    # committed exactly k tokens), accumulated on device by the engine
+    accept_hist: Optional[tuple] = None
 
     @classmethod
     def from_result(cls, result: Any, wall_s: float) -> "GenerationStats":
         nfe = int(result.nfe)
         tokens = int(result.gen_count.max())
+        hist = getattr(result, "accept_hist", None)
         return cls(
             wall_s=wall_s,
             nfe=nfe,
             tokens=tokens,
             accept_rate=tokens / max(nfe, 1),
+            accept_hist=tuple(int(x) for x in hist) if hist is not None else None,
         )
 
     def __str__(self) -> str:

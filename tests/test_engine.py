@@ -154,3 +154,22 @@ def test_batch_matches_single(params):
         np.asarray(both.tokens[1, : int(both.length[1])]),
         np.asarray(solo2.tokens[0, : int(solo2.length[0])]),
     )
+
+
+def test_accept_histogram_accounts_for_all_commits():
+    """The on-device acceptance-length histogram sums to the committed
+    token count (minus the prefill token) and to the decode-step count."""
+    import numpy as np
+
+    from helpers import make_engine, tiny_params
+
+    eng = make_engine(window=5, max_len=40)
+    params = tiny_params()
+    res = eng.generate(params, jax.random.PRNGKey(3),
+                       jnp.asarray([[1, 2, 3]], jnp.int32))
+    hist = np.asarray(res.accept_hist)
+    assert hist.shape == (6,)
+    # every decode step of the single live sample lands in one bin
+    assert hist.sum() == int(res.nfe) - 1  # prefill commits outside _step
+    committed = int((hist * np.arange(6)).sum())
+    assert committed == int(res.gen_count[0]) - 1, (committed, res.gen_count)
