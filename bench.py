@@ -16,10 +16,11 @@ Prints one JSON line; vs_baseline > 1 means faster than the reference.
 
 Default config: W4A16 int4-weight serving (packed-nibble weights with
 per-channel scales + exact column equilibration, int8 lm_head for acceptance
-fidelity — 15.6 s = 3.0x the A100 reference, NFE 1155 at parity with the
-reference's 1115) + spatial draft init. BENCH_QUANT=1 selects int8 W8A16
-(19.7 s = 2.39x); BENCH_QUANT=0 BENCH_INIT=random reproduces the bf16
-configuration whose numerics match the reference exactly (29.8 s = 1.58x).
+fidelity) + spatial draft init + exact radix-select top-k — 14.2-14.3 s =
+3.3x the A100 reference, NFE 1155 at parity with the reference's 1115.
+BENCH_QUANT=1 selects int8 W8A16 (19.7 s = 2.39x); BENCH_QUANT=0
+BENCH_INIT=random reproduces the bf16 configuration whose numerics match
+the reference exactly (29.8 s = 1.58x).
 With real checkpoints, validate quantized quality (FID) before production use.
 """
 

@@ -72,8 +72,7 @@ def build_window(
     lo, hi = spec.image_vocab_start, spec.image_vocab_end
     if hi < lo:  # no image vocab declared: fall back to the full vocab
         lo, hi = 0, V - 1
-    rng_seed, rng_tok = jax.random.split(rng)
-    rand = jax.random.randint(rng_tok, (B, W - 1), lo, hi + 1, jnp.int32)
+    rand = jax.random.randint(rng, (B, W - 1), lo, hi + 1, jnp.int32)
 
     # ---- spatial-extrapolation override -------------------------------------
     if scheme in ("repeat_horizon", "sample_horizon"):
@@ -90,7 +89,15 @@ def build_window(
                 carried_probs, src[:, :, None], axis=1
             )  # [B, W-1, V]
             carried_seed = jnp.argmax(src_probs, axis=-1).astype(jnp.int32)
-            seed_tok = jnp.where(have_carried, carried_seed, seed_tok)
+            # clamp-to-last fallback: the seed is the argmax of the RECORDED
+            # distribution (the reference's top-1-restricted multinomial over
+            # the stored score row), not the token that was sampled from it —
+            # they differ whenever non-greedy sampling picked a non-mode token
+            last_seed = jnp.argmax(last_prob, axis=-1).astype(jnp.int32)[:, None]
+            seed_tok = jnp.where(
+                have_carried, carried_seed,
+                jnp.broadcast_to(last_seed, carried_seed.shape),
+            )
         # draft slot d sits at image offset o = img_count + d; its grid column
         # (1-based, 0 = end-of-line) is (o + 1) % (w + 1); only column >= 1
         # slots are extrapolated (reference valid_indices, :549-553).

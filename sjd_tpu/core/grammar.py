@@ -59,6 +59,11 @@ class GrammarSpec:
     eof_id: int = -1
     eos_id: int = -1
     pad_id: int = -1
+    # emu3 only: the <|image token|> marker whose position anchors the
+    # positional constraint (utils_emu3.py:47-50 counts offsets from it);
+    # update_state arms in_image when it scans this id, so the prompt's own
+    # tokens are never counted into img_count. -1 disables marker arming.
+    img_token_id: int = -1
     # anole only (multimodal_generation_mode stacks,
     # scheduler/jacobi_iteration_anhole.py:121-272)
     image_seq_length: int = 1024
@@ -152,13 +157,21 @@ def update_state(
             # Emu3's prefix constraint is positional for the whole generation:
             # <eof>/<image_end>/<eos>/<pad> are forced at offsets *past* the
             # grid end (utils_emu3.py:19-62), so the counter runs through
-            # <image_end> and the state never closes.
+            # <image_end> and the state never closes. Offsets anchor at the
+            # <|image token|> marker (utils_emu3.py:47-50): scanning it arms
+            # in_image, and only tokens AFTER it count — st.in_image (the
+            # pre-update value) gates the count so the marker itself and the
+            # whole preceding prompt contribute zero. (Pre-arming in_image
+            # before a prompt scan would count every prompt token and shift
+            # every forced offset by the prompt length.)
             h_lat, w_lat = st.h_lat, st.w_lat
             header_seen = st.header_seen
             size_known = st.size_known
             img_count = jnp.where(live & st.in_image, st.img_count + 1, st.img_count)
+            is_marker = live & (tok == spec.img_token_id)
+            in_image_e = jnp.where(is_marker, True, st.in_image)
             return GrammarState(
-                st.in_image, size_known, h_lat, w_lat, img_count, header_seen
+                in_image_e, size_known, h_lat, w_lat, img_count, header_seen
             )
         else:
             h_lat, w_lat = st.h_lat, st.w_lat

@@ -70,6 +70,13 @@ def process_window_logits(
         if force_no_cfg is None:
             force_no_cfg = jnp.zeros((B,), bool)
         scores = cfg_mix(logits, params.guidance_scale, force_no_cfg)
+    elif params.do_cfg:
+        # guidance_scale == 1.0 makes the mix an identity; the doubled
+        # [cond; uncond] batch must still collapse to the cond half or the
+        # [2B, W, V] tensor breaks every downstream B-shaped op (the engine
+        # normalizes do_cfg away at construction, but this function is the
+        # public pipeline surface and direct callers hit it)
+        scores = logits[: logits.shape[0] // 2]
     else:
         scores = logits
 

@@ -41,6 +41,7 @@ VISUAL_END = VOCAB_SIZE - 1  # 184621
 EMU3_GRAMMAR = GrammarSpec(
     kind="emu3",
     image_start_id=BOI_ID,
+    img_token_id=IMG_ID,
     image_end_id=EOI_ID,
     newline_id=EOL_ID,
     eof_id=EOF_ID,
@@ -68,15 +69,21 @@ def emu3_config(dtype=jnp.bfloat16) -> DecoderConfig:
     )
 
 
-def emu3_grammar_state(batch: int, h: int, w: int):
-    """Emu3 knows the grid from the prompt ('{H}*{W}'); arm the grammar up
-    front with in_image=True (the positional constraint runs from the first
-    generated token, utils_emu3.py:45-62)."""
+def emu3_grammar_state(batch: int, h: int, w: int, *, armed: bool = False):
+    """Emu3 knows the grid from the prompt ('{H}*{W}').
+
+    The positional constraint anchors at the prompt's trailing
+    <|image token|> marker (utils_emu3.py:47-50): the engine's prompt scan
+    arms in_image at that marker, so img_count counts GENERATED tokens only.
+    Default un-armed — pass armed=True ONLY when the ids fed to the engine
+    do not contain the marker (the grammar then counts from the first token
+    it sees, which is wrong for real prompts: it used to shift every forced
+    offset by the prompt length)."""
     return init_state(
         batch,
         h_lat=jnp.full((batch,), h, jnp.int32),
         w_lat=jnp.full((batch,), w, jnp.int32),
-        in_image=True,
+        in_image=armed,
     )
 
 

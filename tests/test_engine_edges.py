@@ -126,3 +126,35 @@ def test_neg_prompt_longer_than_positive():
     # full generation: real length reaches max_len (may overshoot < window)
     assert int(res.gen_count[0]) >= 24 - 4, int(res.gen_count[0])
     assert toks.max() < TINY.vocab_size and toks.min() >= 0
+
+
+def test_emu3_engine_grammar_offsets_after_prompt():
+    """End-to-end: an emu3-kind engine fed a realistic prompt (text then the
+    <|image token|> marker) must force <eol>/<eof>/<eoi>/<eos> at offsets
+    counted from the MARKER, not from the start of the prompt (the inflation
+    regression shifted every offset by the prompt length)."""
+    import numpy as np
+
+    from sjd_tpu.core.grammar import GrammarSpec as GS, init_state
+
+    spec = GS(kind="emu3", image_end_id=49, newline_id=50, eof_id=51,
+              eos_id=62, pad_id=0, image_vocab_start=4, image_vocab_end=47,
+              img_token_id=61)
+    model = decoder_model_fns(TINY, max_positions=512)
+    eng = SJDEngine(
+        model,
+        EngineConfig(window=6, max_len=40, eos_id=62),
+        spec,
+        SamplingParams(do_cfg=False, image_top_k=40, text_top_k=40),
+    )
+    h, w = 2, 4
+    gstate = init_state(1, h_lat=jnp.asarray([h], jnp.int32),
+                        w_lat=jnp.asarray([w], jnp.int32))
+    prompt = jnp.asarray([[1, 2, 3, 7, 61]], jnp.int32)  # marker last
+    res = eng.generate(tiny_params(), jax.random.PRNGKey(2), prompt,
+                       gstate=gstate)
+    seq = np.asarray(res.tokens)[0, 5:5 + 13].tolist()
+    # p=1..4 visual, p=5 eol, p=6..9 visual, p=10 eol, then eof eoi eos
+    assert seq[4] == 50 and seq[9] == 50, seq
+    assert seq[10] == 51 and seq[11] == 49 and seq[12] == 62, seq
+    assert all(4 <= t <= 47 for t in seq[:4] + seq[5:9]), seq

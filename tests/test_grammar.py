@@ -156,3 +156,28 @@ def test_anole_grammar():
             assert list(allowed) == [49]
         elif o < 9:
             assert allowed.min() >= 4 and allowed.max() <= 47
+
+
+def test_emu3_prompt_scan_arms_at_marker_without_counting():
+    """The engine scans the full prompt through update_state; the emu3
+    positional constraint must anchor at the <|image token|> marker
+    (utils_emu3.py:47-50) — the prompt's own tokens used to inflate
+    img_count by the prompt length, shifting every forced offset."""
+    spec = G.GrammarSpec(
+        kind="emu3",
+        image_end_id=58, newline_id=57, eof_id=59, eos_id=60, pad_id=61,
+        image_vocab_start=4, image_vocab_end=47, img_token_id=56,
+    )
+    state = G.init_state(
+        1, h_lat=jnp.asarray([2], jnp.int32), w_lat=jnp.asarray([3], jnp.int32)
+    )
+    # bos + 9 text tokens + boi + size + MARKER (build_gen_prompt layout)
+    prompt = jnp.asarray([[1] + list(range(30, 39)) + [55, 12, 56]], jnp.int32)
+    mask = jnp.ones_like(prompt, bool)
+    st = G.update_state(spec, state, prompt, mask)
+    assert bool(st.in_image[0])  # armed by the marker
+    assert int(st.img_count[0]) == 0  # nothing before/at the marker counted
+    # generated tokens after the marker DO count
+    st2 = G.update_state(spec, st, jnp.asarray([[5, 6]], jnp.int32),
+                         jnp.asarray([2], jnp.int32))
+    assert int(st2.img_count[0]) == 2
