@@ -154,6 +154,11 @@ def main():
         scheme="speculative_jacobi",
         init=init,
         kv_quant=True,
+        # generated-token budget = the reference's AR step count for this
+        # grid (2357 at 768px: 48x49 grid+eol rows + header/footer tokens,
+        # BASELINE.md) so wall-clock and NFE compare 1:1 with the teaser
+        # figure; with random weights no <eos> arrives to stop us earlier
+        max_len=grid * (grid + 1) + 5,
     )
     cfg = eng.model_cfg
 

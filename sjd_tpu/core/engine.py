@@ -54,7 +54,11 @@ class EngineConfig:
     interval_r: int = 10**9
     scheme: str = "speculative_jacobi"  # | "jacobi"
     init: str = "random"  # | "repeat_horizon" | "sample_horizon"
-    max_len: int = 4096  # stop when real length reaches this
+    # Maximum GENERATED tokens (prompt excluded): generation finishes when
+    # real_len - prompt_len reaches this. A prompt-inclusive cap silently
+    # strangled long or image-conditioned prompts — the per-family defaults
+    # budget the image span only, but an i2i prompt alone is ~2.4k tokens.
+    max_len: int = 4096
     buf_len: int = 0  # token buffer capacity; 0 -> max_len + 2*window + prompt rows
     eos_id: int = -1
     pad_id: int = 0
@@ -149,6 +153,12 @@ class SJDEngine:
         # the first generate/resume — flipping the attribute afterwards hits
         # the jit cache and is silently ignored).
         self.ar_fast_path = ar_fast_path
+        # Factories may install a batch-size -> GrammarState builder here;
+        # generate() uses it when the caller passes no gstate. Without it,
+        # grammars that need pre-armed state (Emu3's grid dims) silently
+        # no-op on the default init_state — generation wanders into text
+        # tokens with no error pointing at the missing gstate.
+        self.default_gstate: Optional[Callable[[int], Any]] = None
         # nfe_cap is a *traced* operand of the while_loop condition: one
         # compile serves every max_steps/resume budget (no per-cap recompile).
         # resume donates the incoming EngineState: its KV buffers are multi-GB
@@ -189,7 +199,10 @@ class SJDEngine:
         if prompt_mask is None:
             prompt_mask = jnp.ones((B, P), bool)
         if gstate is None:
-            gstate = grammar_lib.init_state(B)
+            gstate = (
+                self.default_gstate(B) if self.default_gstate is not None
+                else grammar_lib.init_state(B)
+            )
         if self.sampling.do_cfg and self.config.cfg_mode == "neg_prompt":
             if prompt_embeds is not None:
                 assert neg_prompt_embeds is not None and (
@@ -564,12 +577,14 @@ class SJDEngine:
         j = jnp.arange(Wr, dtype=jnp.int32)[None, :]
         committed_live = j < n_eff[:, None]
         hit_eos = jnp.any(committed_live & (res.out_tokens == cfg.eos_id), axis=1)
-        # Semantic cap on the real length, plus a padded-length guard that
-        # keeps every future W-wide commit write inside the buffer (rows used
-        # include left-pad; dynamic_update_slice would otherwise clamp the
-        # offset and silently overwrite committed tokens — ADVICE r1).
+        # Semantic cap on GENERATED tokens (max_len excludes the prompt),
+        # plus a padded-length guard that keeps every future W-wide commit
+        # write inside the buffer (rows used include left-pad;
+        # dynamic_update_slice would otherwise clamp the offset and silently
+        # overwrite committed tokens — ADVICE r1).
         L_buf = st.tokens.shape[1]
-        out_of_room = (real_len + n_eff >= jnp.int32(cfg.max_len)) | (
+        gen_len = real_len - st.prompt_len
+        out_of_room = (gen_len + n_eff >= jnp.int32(cfg.max_len)) | (
             length > jnp.int32(L_buf - 2 * W)
         )
         finished = st.finished | hit_eos | out_of_room

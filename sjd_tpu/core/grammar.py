@@ -281,6 +281,13 @@ def apply_grammar(
         # exclusive=True: image tokens are legal ONLY inside the
         # image_seq_length window after <boi>, and <eoi> ONLY at the exact
         # end offset — suppressed everywhere else.
+        # Window rows are constrained by the state at WINDOW START: a <boi>
+        # sampled mid-window leaves later rows of the same step constrained
+        # as "outside an image". This matches the reference bit-for-bit (its
+        # processors see all_collected_input_ids = committed ids only,
+        # jacobi_iteration_lumina_mgpt.py:1078-1079 — proven by the lumina
+        # in-window oracle test); the committed-text-inside-image hole in
+        # interleaved mode exists in the reference too.
         if spec.mode == "unrestricted":
             return scores
         is_boi = vocab == spec.image_start_id
@@ -307,10 +314,18 @@ def apply_grammar(
             outside[:, :, None] & (is_image_tok | is_eoi)[None, None, :],
             NEG_INF, scores,
         )
-        # no <boi> without room for a whole image before max_length
-        # (SuppressTokensInIndexRangeLogitsProcessor3d on boi)
-        if spec.boi_suppress_from >= 0 and pred_pos is not None:
-            no_room = pred_pos >= spec.boi_suppress_from  # [B, W]
+        # no <boi> without room for a whole image before the generation
+        # budget runs out (SuppressTokensInIndexRangeLogitsProcessor3d on
+        # boi). boi_suppress_from is a GENERATED-token offset (max_len is
+        # prompt-exclusive); the reference's absolute start_index equals
+        # prompt_len + this value, so the comparison anchors at begin_pos —
+        # an absolute compare would suppress <boi> for ANY prompt longer
+        # than the threshold (image-only mode then has every token at -inf
+        # on the first generated position -> NaN probabilities).
+        if spec.boi_suppress_from >= 0 and pred_pos is not None \
+                and begin_pos is not None:
+            gen_off = pred_pos - begin_pos[:, None]
+            no_room = gen_off >= spec.boi_suppress_from  # [B, W]
             scores = jnp.where(
                 no_room[:, :, None] & is_boi[None, None, :], NEG_INF, scores
             )

@@ -29,13 +29,16 @@ from ..models.emu3 import (
 
 
 def calculate_generate_size(ratio: str, image_area: int, spatial_factor: int = 8):
-    """'{W}:{H}' ratio + pixel area -> latent (h, w)
-    (processing_emu3.py:246-253)."""
+    """'{W}:{H}' ratio + pixel area -> latent (h, w), matching the reference
+    formula exactly (processing_emu3.py:246-253): one shared scale factor,
+    per-dimension ROUND (a floor-twice variant produced off-by-one grids for
+    non-square ratios, e.g. 16:9 at 518400 px gave (67,120) vs (68,120))."""
     w_r, h_r = map(int, ratio.split(":"))
-    cur = w_r / h_r
-    target_h = int(math.sqrt(image_area / cur))
-    target_w = int(target_h * cur)
-    return target_h // spatial_factor, target_w // spatial_factor
+    target = math.sqrt(image_area / (w_r * h_r))
+    return (
+        int(round(h_r * target / spatial_factor)),
+        int(round(w_r * target / spatial_factor)),
+    )
 
 
 def build_gen_prompt(
@@ -126,6 +129,17 @@ def extract_image_grid(tokens: Sequence[int]) -> np.ndarray:
         else:  # stray text token terminates the image
             break
     assert rows, "no image rows found"
-    w = len(rows[0])
-    rows = [r for r in rows if len(r) == w]
-    return np.asarray(rows, np.int32)
+    # keep rows of the MODAL width: anchoring on the first row silently
+    # discarded every full-width row whenever row 0 was truncated/glitched
+    from collections import Counter
+
+    w, n_w = Counter(len(r) for r in rows).most_common(1)[0]
+    kept = [r for r in rows if len(r) == w]
+    if len(kept) < len(rows):
+        import warnings
+
+        warnings.warn(
+            f"extract_image_grid: dropped {len(rows) - len(kept)} of "
+            f"{len(rows)} rows with width != {w} (malformed generation)"
+        )
+    return np.asarray(kept, np.int32)

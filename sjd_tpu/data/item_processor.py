@@ -97,7 +97,6 @@ def split_generation(tokens: Sequence[int]):
     """Split generated ids into ('text', [ids]) and ('image', [ids]) spans —
     the decode_ids split of inference_solver.py:356-403."""
     spans, cur, mode = [], [], "text"
-    it = iter(range(len(tokens)))
     tokens = list(tokens)
     i = 0
     while i < len(tokens):
@@ -163,11 +162,19 @@ class FlexARItemProcessor:
     conversation turn — the image2image / freeform demo paths."""
 
     def __init__(self, tokenizer, *, mapping: Optional[VocabMapping] = None,
-                 vq_params=None, vq_cfg=None):
+                 vq_params=None, vq_cfg=None, input_patches: int = 1024):
         self.tokenizer = tokenizer
         self.mapping = mapping
         self.vq_params = vq_params
         self.vq_cfg = vq_cfg
+        # variable crop sizes for image INPUTS (the reference's
+        # crop_size_list + var_center_crop, item_processor.py:40-51);
+        # input_patches bounds the encoded image's token budget
+        from .image_processing import generate_crop_size_list
+
+        self.crop_size_list = generate_crop_size_list(
+            num_patches=input_patches, patch_size=32
+        )
 
     def t2i_prompt_ids(self, caption: str, pixels: int = 768) -> List[int]:
         text = conversation_prompt([[t2i_question(caption, pixels, pixels), None]])
@@ -184,15 +191,42 @@ class FlexARItemProcessor:
         from ..models.vq import encode as vq_encode
 
         if hasattr(image, "size") and not isinstance(image, np.ndarray):
+            image = self._fit_to_crop(image)
             w_px, h_px = image.size
             arr = np.asarray(image.convert("RGB"), np.float32) / 127.5 - 1.0
         else:
             arr = np.asarray(image, np.float32)
             h_px, w_px = arr.shape[:2]
+            f = self.vq_cfg.downsample_factor
+            assert h_px % (2 * f) == 0 and w_px % (2 * f) == 0, (
+                f"array inputs must be multiples of {2 * f}px (pass a PIL "
+                "image for automatic crop-list fitting)"
+            )
         ids = vq_encode(self.vq_params, self.vq_cfg, jnp.asarray(arr[None]))
         f = self.vq_cfg.downsample_factor  # 16 for the Chameleon VQGAN
         grid = np.asarray(ids[0], np.int32).reshape(h_px // f, w_px // f)
         return image_block_from_grid(grid, h_px, w_px, mapping=self.mapping)
+
+    def _fit_to_crop(self, image):
+        """Deterministic var_center_crop (reference item_processor var_center
+        _crop with a centered offset): pick the crop whose aspect ratio best
+        matches, resize to cover, center-crop. Arbitrary input sizes (e.g.
+        500x500) otherwise crash the grid reshape or desync the size header
+        from the actual VQ grid."""
+        import math
+
+        w_px, h_px = image.size
+        best = min(
+            self.crop_size_list,
+            key=lambda s: abs(math.log((w_px / h_px) / (s[0] / s[1]))),
+        )
+        cw, ch = best
+        scale = max(cw / w_px, ch / h_px)
+        rw, rh = max(cw, round(w_px * scale)), max(ch, round(h_px * scale))
+        image = image.resize((rw, rh))
+        left = (rw - cw) // 2
+        top = (rh - ch) // 2
+        return image.crop((left, top, left + cw, top + ch))
 
     def multimodal_prompt_ids(self, qas: List[List[Optional[str]]],
                               images: Sequence = ()) -> List[int]:

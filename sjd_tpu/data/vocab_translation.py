@@ -130,4 +130,12 @@ def img_to_bpe(mapping: VocabMapping, ids):
 
         table = jnp.asarray(table)
         return jnp.take(table, jnp.clip(ids, 0, table.shape[0] - 1))
-    return np.take(table, np.clip(ids, 0, table.shape[0] - 1))
+    ids = np.asarray(ids)
+    # host path validates like bpe_to_img: a silent clamp would splice the
+    # token of an unrelated codebook row into the prompt with no error
+    if ids.size and (ids.min() < 0 or ids.max() >= table.shape[0]):
+        raise ValueError(
+            f"codebook ids out of range [0, {table.shape[0]}): "
+            f"min={ids.min()}, max={ids.max()}"
+        )
+    return np.take(table, ids)

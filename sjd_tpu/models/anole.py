@@ -84,7 +84,12 @@ def anole_engine(
     cfg = chameleon_config("7B", dtype)
     if not max_len:
         max_len = IMAGE_SEQ_LENGTH + 128
-    model = decoder_model_fns(cfg, max_positions=max_len + window + 8)
+    # max_len budgets GENERATED tokens only; the rope table must cover
+    # prompt + generation, so size from the model's real context limit
+    model = decoder_model_fns(
+        cfg,
+        max_positions=max(cfg.max_position_embeddings, max_len + window + 8),
+    )
     econfig = EngineConfig(
         window=window,
         interval_l=1,

@@ -117,7 +117,13 @@ def lumina_engine(
     # image span = header(3) + h rows * (w+1) + <eoss>; add slack for text
     if not max_len:
         max_len = grid * (grid + 1) + 64
-    model = decoder_model_fns(cfg, max_positions=max_len + window + 8)
+    # max_len budgets GENERATED tokens only (EngineConfig.max_len); absolute
+    # positions reach prompt + generation, so the rope table sizes from the
+    # model's real context limit
+    model = decoder_model_fns(
+        cfg,
+        max_positions=max(cfg.max_position_embeddings, max_len + window + 8),
+    )
     econfig = EngineConfig(
         window=window,
         interval_l=1,

@@ -106,7 +106,12 @@ def emu3_engine(
     if not max_len:
         max_len = h * (w + 1) + 128
     cfg = emu3_config(dtype)
-    model = decoder_model_fns(cfg, max_positions=max_len + window + 8)
+    # max_len budgets GENERATED tokens only; the rope table must cover
+    # prompt + generation, so size from the model's real context limit
+    model = decoder_model_fns(
+        cfg,
+        max_positions=max(cfg.max_position_embeddings, max_len + window + 8),
+    )
     econfig = EngineConfig(
         window=window,
         interval_l=1,
@@ -130,4 +135,9 @@ def emu3_engine(
     )
     engine = SJDEngine(model, econfig, EMU3_GRAMMAR, sampling)
     engine.model_cfg = cfg
+    # generate() without an explicit gstate gets the grid-armed state for
+    # (h, w) — the positional grammar silently no-ops on a default
+    # init_state (size_known=False), which used to wander into text tokens
+    # with nothing pointing at the missing emu3_grammar_state.
+    engine.default_gstate = lambda batch: emu3_grammar_state(batch, h, w)
     return engine

@@ -154,7 +154,12 @@ def llamagen_engine(
     cfg = llamagen_config(name, block_size=block, cls_token_num=cls_token_num,
                           dtype=dtype)
     max_len = cls_token_num + block
-    model = decoder_model_fns(cfg, max_positions=max_len + window + 8)
+    # max_len budgets GENERATED tokens only; the rope table must cover
+    # prompt + generation, so size from the model's real context limit
+    model = decoder_model_fns(
+        cfg,
+        max_positions=max(cfg.max_position_embeddings, max_len + window + 8),
+    )
     econfig = EngineConfig(
         window=window,
         interval_l=1,

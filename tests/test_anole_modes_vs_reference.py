@@ -163,8 +163,10 @@ def test_boi_room_check_matches_reference():
     spec = _spec("interleaved")
     rs = np.random.RandomState(0)
     scores = rs.randn(V).astype(np.float32)
+    # our boi_suppress_from is a GENERATED offset (engine max_len excludes
+    # the prompt); the reference's absolute start_index = prompt_len + that
     proc = SuppressTokensInIndexRangeLogitsProcessor3d(
-        suppress_tokens=[BOI], start_index=MAXLEN - L_IMG - 1
+        suppress_tokens=[BOI], start_index=3 + MAXLEN - L_IMG - 1
     )
     for cur_len in [10, MAXLEN - L_IMG - 2, MAXLEN - L_IMG - 1, MAXLEN - 2]:
         ids = list(range(3, 3 + cur_len))

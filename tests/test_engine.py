@@ -68,7 +68,7 @@ def test_nfe_less_than_ar_steps(params):
     )
     res = eng.generate(params, jax.random.PRNGKey(0), prompt)
     generated = int(res.gen_count[0])
-    assert generated == max_len - 3
+    assert generated == max_len  # max_len budgets GENERATED tokens
     assert int(res.nfe) < generated, (int(res.nfe), generated)
 
 
@@ -91,7 +91,8 @@ def test_window_one_is_plain_ar(params):
                                               image_top_k=64, text_top_k=64))
     res = eng.generate(params, jax.random.PRNGKey(0), prompt)
     assert int(res.nfe) == int(res.gen_count[0])
-    want = ar_reference_decode(params, TINY, [1, 2], 20)
+    # max_len budgets GENERATED tokens; AR ground truth runs to prompt + 20
+    want = ar_reference_decode(params, TINY, [1, 2], 22)
     got = np.asarray(res.tokens[0, : int(res.length[0])])
     np.testing.assert_array_equal(got, np.asarray(want, np.int32))
 

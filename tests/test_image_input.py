@@ -156,3 +156,27 @@ def test_anole_encode_image_fn(monkeypatch):
         vq_encode(model.extras["vq_params"], TINY_VQ, jnp.asarray(img[None]))[0]
     )
     np.testing.assert_array_equal(bpe_to_img(mapping, np.asarray(bpe)), direct)
+
+
+def test_process_image_fits_arbitrary_size():
+    """A 500x500 PIL input must be fitted to a valid crop size (the
+    reference's var_center_crop) instead of crashing the grid reshape or
+    desyncing the size header from the actual VQ grid."""
+    from PIL import Image
+
+    proc = FlexARItemProcessor(
+        FakeTokenizer(), mapping=shuffled_mapping(),
+        vq_params=init_vq_params(jax.random.PRNGKey(0), TINY_VQ),
+        vq_cfg=TINY_VQ, input_patches=64,
+    )
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(500, 500, 3) * 255).astype(np.uint8)
+    )
+    block = proc.process_image(img)
+    # header: <image_start> h_tok w_tok; body rows end with <new_line>
+    assert block[0] == IMAGE_START_ID
+    grid = image_grid_from_block(block, mapping=proc.mapping)
+    assert grid.ndim == 2 and grid.size > 0  # header and grid agree
+    # fitted to a crop-list size: pixel dims are multiples of the 32px patch
+    f = TINY_VQ.downsample_factor
+    assert all((s * f) % 32 == 0 for s in grid.shape[0:2])
