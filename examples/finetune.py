@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--save-interval", type=int, default=500)
     ap.add_argument("--max-keep", type=int, default=2)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--mask-image-logits", action="store_true",
+                    help="disallow Chameleon image-token logits in the loss "
+                         "(text-only finetuning; reference solver flag)")
     ap.add_argument("--log-every", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -72,13 +75,14 @@ def main():
         learning_rate=args.lr, weight_decay=args.wd, z_loss_weight=args.z_loss,
         grad_clip=args.grad_clip, grad_accum=args.grad_accum,
         warmup_steps=args.warmup, total_steps=args.steps,
+        mask_image_logits=args.mask_image_logits,
     )
     init_fn, step_fn = make_train_step(mesh, cfg, tcfg, tp=tp > 1, fsdp=True)
 
     manager = ckpt_lib.make_manager(os.path.abspath(args.ckpt_dir),
                                     max_keep=args.max_keep)
 
-    def batches():
+    def batches(start_step: int = 0):
         if args.synthetic or not args.meta_path:
             rs = np.random.RandomState(args.seed)
             while True:
@@ -91,13 +95,23 @@ def main():
             from sjd_tpu.data.sampler import LengthClusteredSampler
 
             ds = FinetuneDataset(args.meta_path)
+            # per-meta types/ratios drive the sampler's group up/down-
+            # sampling (they were parsed but never wired — all data was
+            # silently sampled at ratio 1.0)
             sampler = LengthClusteredSampler(
                 ds.lengths(), batch_size=args.batch_size,
                 grad_accum=args.grad_accum, seed=args.seed,
+                groups=ds.types or None, group_ratios=ds.ratios or None,
             )
-            epoch = 0
+            # mid-epoch resume: skip the optimizer iterations the restored
+            # step already consumed (otherwise the resumed run re-trains on
+            # the same batches from epoch 0)
+            steps_per_epoch = max(len(sampler) // args.batch_size, 1)
+            epoch = start_step // steps_per_epoch
+            start_iter = start_step % steps_per_epoch
             while True:
-                sampler.set_epoch(epoch)
+                sampler.set_epoch(epoch, start_iter)
+                start_iter = 0
                 buf = []
                 for idx in sampler:
                     buf.append(ds[idx])
@@ -117,9 +131,9 @@ def main():
                 logger.info("no checkpoint found; starting fresh")
 
         metrics_log = MetricLogger()
-        gen = batches()
-        t0 = time.time()
         start = int(state.step)
+        gen = batches(start)
+        t0 = time.time()
         for step in range(start, args.steps):
             ids, labels, mask = next(gen)
             state, metrics = step_fn(

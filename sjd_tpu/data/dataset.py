@@ -58,9 +58,23 @@ class FinetuneDataset:
         return len(self.records)
 
     def lengths(self) -> List[int]:
-        return [
+        out = [
             int(r.get("len", len(r.get("input_ids", [])) or 1)) for r in self.records
         ]
+        # pre_tokenize.py always writes "len"; a meta without it degrades
+        # every record to length 1 and silently defeats length clustering
+        n_fallback = sum(
+            1 for r in self.records
+            if "len" not in r and "input_ids" not in r
+        )
+        if n_fallback:
+            import warnings
+
+            warnings.warn(
+                f"{n_fallback}/{len(out)} records lack a 'len' field; "
+                "length clustering will treat them as length 1"
+            )
+        return out
 
     def _load(self, idx: int) -> Dict[str, Any]:
         rec = self.records[idx]

@@ -89,10 +89,18 @@ class LengthClusteredSampler:
             block = flat[u * unit : (u + 1) * unit]
             mine = block[self.rank * per_rank : (self.rank + 1) * per_rank]
             out.extend(mine)
-        # resume: skip consumed iterations (batches)
-        return iter(out[self.start_iter * self.batch_size :])
+        # resume: skip consumed OPTIMIZER iterations — each consumes a full
+        # grad-accum unit of batch_size * grad_accum items per rank (skipping
+        # only batch_size replayed most of the consumed data and left every
+        # later accumulation window straddling two original units)
+        return iter(out[self.start_iter * per_rank:])
 
     def __len__(self) -> int:
+        # must agree with what __iter__ yields, INCLUDING the group-ratio
+        # up/down-sampling (ratios change the epoch's index count)
         unit = self.num_replicas * self.batch_size * self.grad_accum
-        flat_len = (len(self.lengths) // unit) * unit
+        if self.group_ratios:
+            flat_len = (len(self._indices_for_epoch()) // unit) * unit
+        else:
+            flat_len = (len(self.lengths) // unit) * unit
         return flat_len // self.num_replicas

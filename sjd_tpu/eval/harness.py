@@ -39,7 +39,11 @@ def run_prompt_set(
         image = sample_fn(rec.prompt)
         dt = time.time() - t0
         latencies.append(dt)
-        image.save(out)
+        # atomic write: a preemption mid-save would leave a truncated PNG
+        # that the skip-existing resume then treats as complete forever
+        tmp = out + ".tmp"
+        image.save(tmp, format="PNG")
+        os.replace(tmp, out)
         done += 1
         if log_every and done % log_every == 0:
             print(f"[{done}/{len(records)}] {rec.index}: {dt:.1f}s  {rec.prompt[:60]}")

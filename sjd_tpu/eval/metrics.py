@@ -72,7 +72,15 @@ def load_image_dir(path: str, size: Optional[int] = None) -> np.ndarray:
     from PIL import Image
 
     arrs = []
-    for name in sorted(os.listdir(path)):
+
+    def order(name):
+        # harness files are {index}.png — sort numerically so image[i]
+        # aligns with prompt[i] (lexicographic puts 10.png before 2.png,
+        # silently mispairing every CLIPScore from the 11th image on)
+        stem = os.path.splitext(name)[0]
+        return (0, int(stem), name) if stem.isdigit() else (1, 0, name)
+
+    for name in sorted(os.listdir(path), key=order):
         if not name.lower().endswith((".png", ".jpg", ".jpeg")):
             continue
         img = Image.open(os.path.join(path, name)).convert("RGB")
@@ -206,9 +214,11 @@ def evaluate_quantitative_scores(
     evaluate_quantitative_scores[_text2img] (evaluation_metrics.py:112-271)."""
     gen = load_image_dir(generated_dir)
     results: dict = {"n_images": len(gen)}
-    if feature_fn is None:
-        feature_fn = make_inception_extractor()
     if reference_dir is not None:
+        # the Inception extractor only matters for FID — constructing it
+        # unconditionally made IS-only runs fail in torch-free environments
+        if feature_fn is None:
+            feature_fn = make_inception_extractor()
         ref = load_image_dir(reference_dir)
         results["fid"] = frechet_distance(feature_fn(gen), feature_fn(ref))
     if probs_fn is not None:

@@ -19,6 +19,21 @@ from typing import Optional
 import jax
 
 
+def _first_slurm_node(nodelist: str) -> str:
+    """First hostname of a SLURM nodelist, expanding the compressed bracket
+    form: 'nid[001-004,007]' -> 'nid001' (zero padding preserved). The naive
+    split-on-'[' yielded the bare prefix 'nid', an unresolvable coordinator
+    host for every multi-node job."""
+    import re
+
+    m = re.match(r"([^\[,]+)\[([^\]]+)\]", nodelist)
+    if m:
+        prefix, ranges = m.groups()
+        first = ranges.split(",")[0].split("-")[0]
+        return prefix + first
+    return nodelist.split(",")[0]
+
+
 def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -34,7 +49,7 @@ def init_distributed(
         process_id = process_id if process_id is not None else int(env.get("RANK", "0"))
     elif coordinator_address is None and "SLURM_JOB_NODELIST" in env:
         # first node of the SLURM allocation is the coordinator
-        head = env["SLURM_JOB_NODELIST"].split(",")[0].split("[")[0]
+        head = _first_slurm_node(env["SLURM_JOB_NODELIST"])
         coordinator_address = f"{head}:12345"
         num_processes = num_processes or int(env.get("SLURM_NTASKS", "1"))
         process_id = process_id if process_id is not None else int(

@@ -42,17 +42,26 @@ class TrainConfig:
     grad_clip: float = 1.0
     z_loss_weight: float = 1e-5  # finetune exps use 1e-5 (exps/7B.sh)
     grad_accum: int = 1
-    # mask logits of image tokens outside labeled spans
-    mask_image_logits: bool = True
+    # Disallow image-token logits everywhere before the loss, exactly like
+    # the reference (modeling_chameleon.py:1563-1566 sets image-token
+    # columns to dtype-min when config.mask_image_logits) — text-only
+    # finetuning where CE/z-loss must never credit image tokens. OPT-IN
+    # (the reference exposes it as a solver flag): the vocab span below is
+    # Chameleon's, and masking it on a model whose labels include those ids
+    # makes the loss infinite.
+    mask_image_logits: bool = False
     image_vocab_start: int = 4
     image_vocab_end: int = 8195
 
 
 def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
+    # clamp warmup below total (smoke runs with steps < warmup otherwise
+    # crash optax with negative decay_steps)
+    warmup = min(cfg.warmup_steps, max(cfg.total_steps // 2, 1))
     return optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=cfg.learning_rate,
-        warmup_steps=cfg.warmup_steps,
+        warmup_steps=warmup,
         decay_steps=cfg.total_steps,
         end_value=cfg.learning_rate * cfg.min_lr_ratio,
     )
@@ -90,6 +99,16 @@ def loss_fn(
         params, model_cfg, ids, positions, attn_mask=attn_mask,
         rope_table=rope_table,
     )  # [B, T, V] fp32, predicts token t+1 at position t
+    if train_cfg.mask_image_logits:
+        # reference: logits[:, :, image_tokens] = finfo.min
+        # (modeling_chameleon.py:1563-1566) BEFORE CE and z-loss
+        v = jnp.arange(logits.shape[-1])
+        is_img = (v >= train_cfg.image_vocab_start) & (
+            v <= train_cfg.image_vocab_end
+        )
+        logits = jnp.where(
+            is_img[None, None, :], jnp.finfo(logits.dtype).min, logits
+        )
     logits = logits[:, :-1]
     targets = labels[:, 1:]
     valid = targets != -100

@@ -101,8 +101,6 @@ class Emu3Tokenizer:
             mergeable_ranks=self.mergeable_ranks,
             special_tokens=self.special_tokens,
         )
-        self.decoder: Dict[int, object] = {v: k for k, v in self.mergeable_ranks.items()}
-        self.decoder.update({v: k for k, v in self.special_tokens.items()})
 
         self.bos_token, self.eos_token, self.pad_token = bos_token, eos_token, pad_token
         self.img_token, self.boi_token, self.eoi_token = img_token, boi_token, eoi_token
