@@ -142,14 +142,10 @@ def temporal_downsample(p: Dict, x):
     return causal_conv3d(x, p["conv_w"], p["conv_b"], stride=(2, 1, 1))
 
 
-def _upsample2d(p, x):
-    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-    return conv2d(x, p["conv_w"], p["conv_b"])
-
-
-def _downsample2d(p, x):
-    x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-    return conv2d(x, p["conv_w"], p["conv_b"], stride=2, padding="VALID")
+# 2-D up/downsampling is identical to the taming VQGAN's (same asymmetric
+# (0,1,0,1) pad trick) — shared to keep the convention in one place
+from .taming import downsample as _downsample2d  # noqa: E402
+from .taming import upsample as _upsample2d  # noqa: E402
 
 
 # ---------------------------------------------------------------------------

@@ -135,7 +135,14 @@ def upsample(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
 def codebook_lookup(cfg: VQConfig, codebook: jnp.ndarray, ids: jnp.ndarray,
                     grid_hw: Tuple[int, int]) -> jnp.ndarray:
     """Token ids [B, h*w] -> latents [B, h, w, embed_dim]
-    (get_codebook_entry; l2-normalized for llamagen, vq_model.py:264-268)."""
+    (get_codebook_entry; l2-normalized for llamagen, vq_model.py:264-268).
+
+    CONTRACT: ids must already be CODEBOOK indices in [0, n_embed) — LM
+    image-token ids go through data/vocab_translation.py first. JAX gather
+    clamps out-of-range indices, so feeding raw LM ids here produces
+    plausible-looking garbage with no error (the exact silent failure the
+    bpe<->img permutation exists to prevent; host-side callers validate in
+    vocab_translation.bpe_to_img)."""
     cb = codebook
     if cfg.l2_norm_codebook:
         cb = cb / jnp.linalg.norm(cb, axis=-1, keepdims=True).clip(1e-12)

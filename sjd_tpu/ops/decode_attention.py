@@ -129,6 +129,10 @@ def decode_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     S, W, H, D = q.shape
+    # `window` is derivable from q and kept only as an API cross-check: a
+    # mismatched value would desync the DMA-clamp index maps from the
+    # kernel's internal live-edge mask (GW // group) — silent corruption
+    assert window == W, (window, W)
     if cache_end.ndim == 0:
         cache_end = jnp.full((S,), cache_end, jnp.int32)
     L, Hkv = k_cache.shape[1], k_cache.shape[2]
@@ -145,23 +149,31 @@ def decode_attention(
     qh = q.reshape(S, W, Hkv, group, D).transpose(0, 2, 1, 3, 4)
     qh = qh.reshape(S, Hkv, W * group, D)
 
-    if k_scale is None:
-        k_scale = jnp.ones((S, L, Hkv), jnp.bfloat16)
-        v_scale = jnp.ones((S, L, Hkv), jnp.bfloat16)
-
-    def chunk_map(s, c, ce):
+    def _live_chunk(s, c, ce):
         # clamp dead chunks to the last live one: same block index ->
         # the pipeline skips the DMA re-fetch
         last_live = jnp.maximum((ce[s] + window - 1) // chunk, 0)
-        return (s, jnp.minimum(c, last_live), 0, 0)
+        return jnp.minimum(c, last_live)
+
+    def chunk_map(s, c, ce):
+        return (s, _live_chunk(s, c, ce), 0, 0)
 
     def chunk_map3(s, c, ce):
-        last_live = jnp.maximum((ce[s] + window - 1) // chunk, 0)
-        return (s, jnp.minimum(c, last_live), 0)
+        return (s, _live_chunk(s, c, ce), 0)
 
-    def chunk_map2(s, c, ce):
-        last_live = jnp.maximum((ce[s] + window - 1) // chunk, 0)
-        return (s, jnp.minimum(c, last_live), 0)
+    chunk_map2 = chunk_map3
+
+    if k_scale is None:
+        # bf16-cache path: the kernel still multiplies by per-row scales,
+        # but a single all-ones CHUNK with a pinned block index serves every
+        # grid step (constant index -> the pipeline never re-fetches), so no
+        # [S, L, Hkv] buffer is allocated or streamed per decode step
+        k_scale = jnp.ones((S, chunk, Hkv), jnp.bfloat16)
+        v_scale = jnp.ones((S, chunk, Hkv), jnp.bfloat16)
+        scale_map = lambda s, c, ce: (s, 0, 0)  # noqa: E731
+    else:
+        scale_map = chunk_map3
+
 
     out = pl.pallas_call(
         functools.partial(
@@ -177,8 +189,8 @@ def decode_attention(
                 ),
                 pl.BlockSpec((1, chunk, Hkv, D), chunk_map, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, chunk, Hkv, D), chunk_map, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, chunk, Hkv), chunk_map3, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, chunk, Hkv), chunk_map3, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chunk, Hkv), scale_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chunk, Hkv), scale_map, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, chunk, 1), chunk_map2, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(

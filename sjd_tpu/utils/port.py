@@ -28,7 +28,13 @@ def state_dict_to_numpy(sd: Mapping[str, Any]) -> Dict[str, np.ndarray]:
     out = {}
     for k, v in sd.items():
         if hasattr(v, "detach"):
-            v = v.detach().cpu().float().numpy()
+            v = v.detach().cpu()
+            # only FLOATING tensors go through float32 (numpy has no bf16);
+            # blanket .float() silently destroyed integer/bool buffers
+            # (codebook usage counters, position ids) in ported state dicts
+            if v.is_floating_point():
+                v = v.float()
+            v = v.numpy()
         out[k] = np.asarray(v)
     return out
 

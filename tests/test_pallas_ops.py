@@ -117,3 +117,28 @@ def test_decode_attention_tp_matches_local():
                               chunk=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got_q), np.asarray(want_q),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_int8_gqa_close_to_fp():
+    """int8 dequant under GQA (group > 1): the per-row scale broadcasts over
+    the [Hkv, GW, C] score layout where GW interleaves window x group — a
+    wrong-axis broadcast would cancel in kernel-vs-kernel comparisons and
+    only shows against the fp reference."""
+    from sjd_tpu.models.transformer import _quantize_rows
+
+    S, W, H, Hkv, D, L = 2, 4, 8, 2, 8, 32  # group = 4
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (S, W, H, D), jnp.float32)
+    k = jax.random.normal(kk, (S, L, Hkv, D), jnp.float32)
+    v = jax.random.normal(kv_, (S, L, Hkv, D), jnp.float32)
+    kq8, ks = _quantize_rows(k)
+    vq8, vs = _quantize_rows(v)
+    cache_end = jnp.asarray([7, 19], jnp.int32)
+    valid = jnp.ones((S, L), bool)
+
+    got = decode_attention(q, kq8, vq8, ks, vs, cache_end, valid,
+                           window=W, interpret=True)
+    want = _reference_attn(q, k, v, cache_end, valid, W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.05, atol=0.05)
