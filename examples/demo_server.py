@@ -116,25 +116,29 @@ def main():
 
     from sjd_tpu.loader import load_pretrained_model
 
-    kwargs = {}
     if "lumina" in args.model:
         kwargs = dict(ckpt_dir=args.ckpt_dir, vq_ckpt=args.vq_ckpt,
                       target_size=args.target_size)
     elif "llamagen" in args.model:
         kwargs = dict(gpt_ckpt=args.ckpt_dir, vq_ckpt=args.vq_ckpt,
                       name=args.gpt_model, latent_size=args.latent_size)
+    elif "emu3" in args.model:
+        kwargs = dict(ckpt_dir=args.ckpt_dir, vq_ckpt_dir=args.vq_ckpt)
+    else:  # anole
+        kwargs = dict(ckpt_dir=args.ckpt_dir, vq_ckpt=args.vq_ckpt)
     model = load_pretrained_model(args.model, **kwargs)
 
     def _decode_images(req):
         import base64
 
-        import numpy as np
         from PIL import Image
 
+        # PIL images pass through so the item processor's crop-list fitting
+        # handles arbitrary upload sizes (a raw array of e.g. 500x500 trips
+        # the multiples-of-32 assert instead)
         out = []
         for b64 in req.get("images", []):
-            img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
-            out.append(np.asarray(img, np.float32) / 127.5 - 1.0)
+            out.append(Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB"))
         return out
 
     def dispatch(kind, req):

@@ -162,7 +162,6 @@ def load_lumina_mgpt(
         identity_mapping,
         mapping_from_tokenizer,
     )
-    from sjd_tpu.models import init_params
     from sjd_tpu.models.chameleon import IMAGE_START_ID, lumina_engine
     from sjd_tpu.models.vq import CHAMELEON_VQ, decode as vq_decode, init_vq_params, port_vqgan
 
@@ -365,15 +364,20 @@ def load_emu3(
         if key not in u_state:
             # visual block (h rows of w + eol) + header/template/text budget
             p_bucket = h * (w + 1) + 128
-            max_len = p_bucket + max_new_tokens
+            # max_len budgets GENERATED tokens only (the answer); positions
+            # reach prompt + answer, so the RoPE table covers the bucket too
             u_model = decoder_model_fns(
-                eng.model_cfg, max_positions=max_len + window + 8
+                eng.model_cfg,
+                max_positions=max(
+                    getattr(eng.model_cfg, "max_position_embeddings", 0) or 0,
+                    p_bucket + max_new_tokens + window + 8,
+                ),
             )
             u_state[key] = (
                 SJDEngine(
                     u_model,
                     _dc.replace(eng.config, cfg_mode="none",
-                                max_len=max_len, eos_id=EOS_ID),
+                                max_len=max_new_tokens, eos_id=EOS_ID),
                     GrammarSpec(kind="none"),
                     SamplingParams(do_cfg=False, image_top_k=10, text_top_k=10),
                 ),
@@ -435,7 +439,6 @@ def load_llamagen(
     t5_dir: Optional[str] = None,
     quantize=False,
 ) -> LoadedModel:
-    from sjd_tpu.models import init_params
     from sjd_tpu.models.llamagen import (
         embed_caption,
         embed_class,
@@ -486,14 +489,19 @@ def load_llamagen(
             label = int(prompt)
             pe = embed_class(cond, jnp.asarray([label], jnp.int32), dtype)
             ne = embed_uncond_class(cond, B, dtype)
+            pmask = None
         else:
             assert t5 is not None, "t2i requires a T5 checkpoint dir"
-            feats, _ = t5.get_text_embeddings([str(prompt)])
+            feats, emb_mask = t5.get_text_embeddings([str(prompt)])
             pe = embed_caption(cond, jnp.asarray(feats), dtype)
             ne = embed_uncond_caption(cond, B, dtype)
+            # left-padded zero-embedding caption rows must be attention-
+            # masked (the reference passes emb_masks; attending them with
+            # softmax weight exp(0) dilutes the real caption conditioning)
+            pmask = jnp.asarray(emb_mask, bool)
         res = eng.generate(
             params, jax.random.PRNGKey(rng_seed),
-            prompt_embeds=pe, neg_prompt_embeds=ne,
+            prompt_embeds=pe, neg_prompt_embeds=ne, prompt_mask=pmask,
         )
         block = latent_size * latent_size
         ids = res.tokens[:, cls_token_num : cls_token_num + block]
@@ -508,6 +516,7 @@ def load_llamagen(
 
 def load_anole(
     ckpt_dir: Optional[str] = None,
+    vq_ckpt: Optional[str] = None,
     *,
     window: int = 16,
     guidance_scale: float = 7.0,
@@ -527,9 +536,13 @@ def load_anole(
         identity_mapping,
         mapping_from_tokenizer,
     )
-    from sjd_tpu.models import init_params
     from sjd_tpu.models.anole import BOI_ID, anole_engine
-    from sjd_tpu.models.vq import CHAMELEON_VQ, decode as vq_decode, init_vq_params
+    from sjd_tpu.models.vq import (
+        CHAMELEON_VQ,
+        decode as vq_decode,
+        init_vq_params,
+        port_vqgan,
+    )
 
     eng = anole_engine(
         window=window, guidance_scale=guidance_scale, image_top_k=image_top_k,
@@ -538,7 +551,12 @@ def load_anole(
     )
     params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
     vq_cfg = CHAMELEON_VQ
-    vq_params = init_vq_params(jax.random.PRNGKey(1), vq_cfg)
+    if vq_ckpt:
+        from sjd_tpu.utils.port import load_torch_checkpoint
+
+        vq_params = port_vqgan(load_torch_checkpoint(vq_ckpt), vq_cfg)
+    else:
+        vq_params = init_vq_params(jax.random.PRNGKey(1), vq_cfg)
 
     # bpe->codebook permutation (anole/modeling_chameleon.py:1562-1626,
     # convert_bpe2img_tokens); offset fallback for tokenizer-free demos

@@ -153,7 +153,10 @@ def llamagen_engine(
     block = latent_size * latent_size
     cfg = llamagen_config(name, block_size=block, cls_token_num=cls_token_num,
                           dtype=dtype)
-    max_len = cls_token_num + block
+    # generated-token budget: ONLY the image block (conditioning tokens are
+    # prompt rows; budgeting them too ran ~cls_token_num wasted forwards
+    # past the image under the generated-only max_len semantics)
+    max_len = block
     # max_len budgets GENERATED tokens only; the rope table must cover
     # prompt + generation, so size from the model's real context limit
     model = decoder_model_fns(

@@ -141,13 +141,18 @@ def hinge_d_loss(real_logits: jnp.ndarray, fake_logits: jnp.ndarray) -> jnp.ndar
     )
 
 
-def make_vq_train_step(cfg: VQConfig, tcfg: VQTrainConfig):
+def make_vq_train_step(cfg: VQConfig, tcfg: VQTrainConfig, disc_fn=None):
+    """Generator train step. ``disc_fn`` (frozen discriminator logits fn)
+    enables the adversarial term when tcfg.gan_weight > 0 — it was accepted
+    by vq_loss_fn but never reachable from here, silently dropping the GAN
+    loss. Discriminator updates run in the caller's own step (hinge_d_loss
+    below), mirroring the reference's alternating optimizers."""
     tx = optax.adam(tcfg.learning_rate, b1=0.5, b2=0.9)
 
     @jax.jit
     def step(params, opt_state, ema_params, pixels):
         (loss, aux), grads = jax.value_and_grad(vq_loss_fn, has_aux=True)(
-            params, cfg, tcfg, pixels
+            params, cfg, tcfg, pixels, disc_fn=disc_fn
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

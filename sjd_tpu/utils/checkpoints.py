@@ -21,6 +21,11 @@ PyTree = Any
 
 
 def make_manager(directory: str, *, max_keep: int = 3) -> ocp.CheckpointManager:
+    import os
+
+    # orbax requires absolute paths; converting here means every caller is
+    # safe (the abspath bandaid previously lived in examples/finetune.py)
+    directory = os.path.abspath(directory)
     return ocp.CheckpointManager(
         directory,
         options=ocp.CheckpointManagerOptions(
