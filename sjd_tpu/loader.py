@@ -39,6 +39,30 @@ class LoadedModel:
     sample_fn: Callable[[str], Any]  # prompt -> PIL.Image
     extras: dict
 
+    @property
+    def smoke(self) -> bool:
+        """True when any fallback (random weights / placeholder prompt ids /
+        random VQ) is in play — outputs exercise the pipeline but are NOT
+        real generations. Mirrors ``extras["smoke"]``."""
+        return bool(self.extras.get("smoke"))
+
+
+def _mark_smoke(extras: dict, family: str, reasons: list) -> dict:
+    """Surface fallback ("smoke") mode on the LoadedModel so harness outputs
+    can't be mistaken for real generations: extras["smoke"] flag +
+    per-fallback reasons + one warning log line at load time."""
+    extras["smoke"] = bool(reasons)
+    extras["smoke_reasons"] = list(reasons)
+    if reasons:
+        import logging
+
+        logging.getLogger("sjd_tpu.loader").warning(
+            "%s loaded in SMOKE mode (%s): generations exercise the full "
+            "pipeline but are not real model outputs",
+            family, "; ".join(reasons),
+        )
+    return extras
+
 
 def _to_pil(pixels: np.ndarray):
     from PIL import Image
@@ -164,7 +188,9 @@ def load_lumina_mgpt(
     )
     from sjd_tpu.models.chameleon import IMAGE_START_ID, lumina_engine
     from sjd_tpu.models.vq import CHAMELEON_VQ, decode as vq_decode, init_vq_params, port_vqgan
+    from sjd_tpu.utils.compile_cache import enable_persistent_cache
 
+    enable_persistent_cache()
     eng = lumina_engine(
         target_size=target_size,
         window=window,
@@ -246,12 +272,21 @@ def load_lumina_mgpt(
         """Single-turn image-conditioned generation (demo_image2image.py)."""
         return sample_freeform_fn([[prompt, None]], images, rng_seed)
 
+    smoke = []
+    if not ckpt_dir:
+        smoke.append("random decoder weights (no ckpt_dir)")
+    if not vq_ckpt:
+        smoke.append("random VQ decoder (no vq_ckpt)")
+    if item_proc is None:
+        smoke.append("placeholder prompt ids (no tokenizer)")
     return LoadedModel(
         name="lumina_mgpt", engine=eng, params=params, sample_fn=sample_fn,
-        extras={"vq_params": vq_params, "vq_cfg": vq_cfg, "nfe": None,
-                "mapping": mapping, "item_processor": item_proc,
-                "sample_i2i_fn": sample_i2i_fn,
-                "sample_freeform_fn": sample_freeform_fn},
+        extras=_mark_smoke(
+            {"vq_params": vq_params, "vq_cfg": vq_cfg, "nfe": None,
+             "mapping": mapping, "item_processor": item_proc,
+             "sample_i2i_fn": sample_i2i_fn,
+             "sample_freeform_fn": sample_freeform_fn},
+            "lumina_mgpt", smoke),
     )
 
 
@@ -283,6 +318,9 @@ def load_emu3(
         Emu3Tokenizer,
     )
 
+    from sjd_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     # native tiktoken loader (no trust_remote_code): a checkpoint dir holding
     # emu3.tiktoken + emu3_vision_tokens.txt is enough
     if tokenizer is None and tokenizer_dir:
@@ -415,11 +453,20 @@ def load_emu3(
                              prompt, prompt_mask=mask)
         return res.tokens[0, p_bucket: int(res.length[0])].tolist()
 
+    smoke = []
+    if not ckpt_dir:
+        smoke.append("random decoder weights (no ckpt_dir)")
+    if not vq_ckpt_dir:
+        smoke.append("random VisionVQ (no vq_ckpt_dir)")
+    if tokenizer is None:
+        smoke.append("placeholder prompt ids (no tokenizer)")
     return LoadedModel(
         name="emu3", engine=eng, params=params, sample_fn=sample_fn,
-        extras={"vq_params": vq_params, "vq_cfg": vq_cfg,
-                "tokenizer": tokenizer, "negative_prompt": negative_prompt,
-                "understand_fn": understand_fn},
+        extras=_mark_smoke(
+            {"vq_params": vq_params, "vq_cfg": vq_cfg,
+             "tokenizer": tokenizer, "negative_prompt": negative_prompt,
+             "understand_fn": understand_fn},
+            "emu3", smoke),
     )
 
 
@@ -448,7 +495,9 @@ def load_llamagen(
         llamagen_engine,
     )
     from sjd_tpu.models.vq import LLAMAGEN_VQ16, decode as vq_decode, init_vq_params, port_vqgan
+    from sjd_tpu.utils.compile_cache import enable_persistent_cache
 
+    enable_persistent_cache()
     if cls_token_num is None:
         cls_token_num = 1 if model_type == "c2i" else 120
     eng = llamagen_engine(
@@ -508,9 +557,18 @@ def load_llamagen(
         pixels = vq_decode(vq_params, vq_cfg, ids, (latent_size, latent_size))
         return _to_pil(np.asarray(pixels[0]))
 
+    smoke = []
+    if not gpt_ckpt:
+        smoke.append("random GPT weights (no gpt_ckpt)")
+    if not vq_ckpt:
+        smoke.append("random VQ decoder (no vq_ckpt)")
+    if model_type == "t2i" and t5 is None:
+        smoke.append("no T5 encoder (t2i prompts unusable until t5_dir given)")
     return LoadedModel(
         name=f"llamagen-{name}", engine=eng, params=params, sample_fn=sample_fn,
-        extras={"vq_params": vq_params, "vq_cfg": vq_cfg, "cond": cond, "t5": t5},
+        extras=_mark_smoke(
+            {"vq_params": vq_params, "vq_cfg": vq_cfg, "cond": cond, "t5": t5},
+            f"llamagen-{name}", smoke),
     )
 
 
@@ -544,6 +602,9 @@ def load_anole(
         port_vqgan,
     )
 
+    from sjd_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     eng = anole_engine(
         window=window, guidance_scale=guidance_scale, image_top_k=image_top_k,
         text_top_k=text_top_k, scheme=scheme, init=init,
@@ -617,12 +678,21 @@ def load_anole(
         ids = vq_encode(vq_params, vq_cfg, jnp.asarray(arr[None]))
         return _i2b(mapping, np.asarray(ids[0], np.int32)).tolist()
 
+    smoke = []
+    if not ckpt_dir:
+        smoke.append("random decoder weights (no ckpt_dir)")
+    if not vq_ckpt:
+        smoke.append("random VQ decoder (no vq_ckpt)")
+    if tokenizer is None:
+        smoke.append("placeholder prompt ids + offset vocab mapping (no tokenizer)")
     return LoadedModel(
         name="anole", engine=eng, params=params, sample_fn=sample_fn,
-        extras={"vq_params": vq_params, "vq_cfg": vq_cfg, "mapping": mapping,
-                "multimodal_generation_mode": multimodal_generation_mode,
-                "encode_image_fn": encode_image_fn,
-                "boi_id": BOI_ID},
+        extras=_mark_smoke(
+            {"vq_params": vq_params, "vq_cfg": vq_cfg, "mapping": mapping,
+             "multimodal_generation_mode": multimodal_generation_mode,
+             "encode_image_fn": encode_image_fn,
+             "boi_id": BOI_ID},
+            "anole", smoke),
     )
 
 

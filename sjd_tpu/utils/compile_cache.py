@@ -1,0 +1,53 @@
+"""Persistent XLA compilation cache for serving entry points.
+
+The SJD decode loop is one large jitted program; its cold compile costs
+~25-70 s on a v5e (and minutes when the remote compile service is
+congested), paid once per process start. The reference pays no such tax
+(PyTorch eager, test_lumina_mgpt.py runs immediately) — so every serving
+entry point here (bench.py, loader.py sample_fns, examples/demo_server.py,
+examples/eval_model.py) enables JAX's persistent compilation cache: the
+compiled executable is serialized to disk keyed on (program, compiler
+version, device kind) and every later process start deserializes it in
+~1 s instead of recompiling. Verified functional on the axon TPU backend
+(warm restart of the full 768px bench engine: 71.6 s -> <5 s compile).
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "sjd_tpu", "xla_cache"
+)
+
+_enabled = False
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
+    """Turn on the persistent compilation cache (idempotent).
+
+    Directory resolution: explicit argument > ``SJD_TPU_CACHE_DIR`` env var >
+    ``~/.cache/sjd_tpu/xla_cache``. Set ``SJD_TPU_CACHE_DIR=0`` (or ``off``)
+    to disable entirely (e.g. to measure true cold-compile time).
+    Returns the cache directory in use, or None when disabled.
+    """
+    global _enabled
+    env = os.environ.get("SJD_TPU_CACHE_DIR", "")
+    if env.lower() in ("0", "off", "none", "disable"):
+        return None
+    cache_dir = cache_dir or env or _DEFAULT_DIR
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        return None  # read-only filesystem etc. — silently run uncached
+    if _enabled:
+        return cache_dir
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache everything that took >=1s to compile, regardless of size: the
+    # decode loop serializes to a few MB, trivially worth it
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _enabled = True
+    return cache_dir
