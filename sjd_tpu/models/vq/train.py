@@ -7,8 +7,12 @@ models/vq/taming.py:
   * straight-through estimator through the quantizer;
   * reconstruction (L1/L2) + codebook & commitment losses (beta 0.25)
     (vq_model.py VectorQuantizer forward);
-  * optional adversarial term via a pluggable discriminator fn (the PatchGAN
-    of the reference plugs in as `disc_fn`; hinge loss);
+  * FULL adversarial training via `make_vqgan_train_steps`: alternating
+    generator/discriminator jitted steps with the PatchGAN discriminator
+    (models/vq/discriminator.py), LPIPS perceptual loss
+    (models/vq/lpips.py), hinge/vanilla/non-saturating D losses,
+    hinge/non-saturating G losses, disc_start gating (adopt_weight) and the
+    optional grad-norm adaptive generator weight — the vq_loss.py protocol;
   * EMA of generator params (vq_train.py --ema).
 """
 
@@ -21,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from .lpips import lpips
 from .taming import VQConfig, conv2d
 
 PyTree = Any
@@ -34,6 +39,14 @@ class VQTrainConfig:
     recon_loss: str = "l1"  # | "l2"
     gan_weight: float = 0.0  # >0 enables the adversarial term
     ema_decay: float = 0.999
+    # full VQGAN options (reference vq_train.py:286-304 defaults)
+    perceptual_weight: float = 1.0  # LPIPS term (vq_loss.py:98-100)
+    disc_weight: float = 0.5
+    disc_start: int = 20000  # adopt_weight threshold (vq_loss.py:44-47)
+    disc_loss: str = "hinge"  # | "vanilla" | "non-saturating"
+    gen_adv_loss: str = "hinge"  # | "non-saturating"
+    disc_adaptive_weight: bool = False  # grad-norm ratio (vq_loss.py:112-118)
+    disc_lr: float = 1e-4
 
 
 def _encode_latents(params, cfg: VQConfig, pixels: jnp.ndarray) -> jnp.ndarray:
@@ -78,13 +91,12 @@ def _decode_latents(params, cfg: VQConfig, z_q: jnp.ndarray) -> jnp.ndarray:
     return conv2d(swish(h), d["conv_out_w"], d["conv_out_b"])
 
 
-def vq_loss_fn(
-    params: PyTree,
-    cfg: VQConfig,
-    tcfg: VQTrainConfig,
-    pixels: jnp.ndarray,  # [B, H, W, 3] in [-1, 1]
-    disc_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+def _vq_forward(
+    params: PyTree, cfg: VQConfig, pixels: jnp.ndarray
 ) -> Tuple[jnp.ndarray, dict]:
+    """Shared encode->quantize->decode pass: returns (recon fp32, parts)
+    with codebook/commit losses and usage — reused by the plain trainer and
+    the full VQGAN trainer."""
     z_e = _encode_latents(params, cfg, pixels).astype(jnp.float32)
     cb = params["codebook"].astype(jnp.float32)
     if cfg.l2_norm_codebook:
@@ -107,6 +119,25 @@ def vq_loss_fn(
     z_st = z_en + jax.lax.stop_gradient(z_q - z_en)
 
     recon = _decode_latents(params, cfg, z_st).astype(jnp.float32)
+    parts = {
+        "codebook": codebook_loss,
+        "commit": commit_loss,
+        # batch codebook-usage fraction (vq_train's codebook_usage tracker)
+        "usage": (jnp.bincount(ids, length=cfg.n_embed) > 0).mean(),
+    }
+    return recon, parts
+
+
+def vq_loss_fn(
+    params: PyTree,
+    cfg: VQConfig,
+    tcfg: VQTrainConfig,
+    pixels: jnp.ndarray,  # [B, H, W, 3] in [-1, 1]
+    disc_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> Tuple[jnp.ndarray, dict]:
+    recon, parts = _vq_forward(params, cfg, pixels)
+    codebook_loss = parts["codebook"]
+    commit_loss = parts["commit"]
     if tcfg.recon_loss == "l1":
         rec_loss = jnp.mean(jnp.abs(recon - pixels))
     else:
@@ -121,8 +152,7 @@ def vq_loss_fn(
         "recon": rec_loss,
         "codebook": codebook_loss,
         "commit": commit_loss,
-        # batch codebook-usage fraction (vq_train's codebook_usage tracker)
-        "usage": (jnp.bincount(ids, length=cfg.n_embed) > 0).mean(),
+        "usage": parts["usage"],
     }
     if disc_fn is not None and tcfg.gan_weight > 0:
         # non-saturating generator loss on the reconstruction (vq_loss.py)
@@ -139,6 +169,172 @@ def hinge_d_loss(real_logits: jnp.ndarray, fake_logits: jnp.ndarray) -> jnp.ndar
         jnp.mean(jax.nn.relu(1.0 - real_logits))
         + jnp.mean(jax.nn.relu(1.0 + fake_logits))
     )
+
+
+def vanilla_d_loss(real_logits: jnp.ndarray, fake_logits: jnp.ndarray) -> jnp.ndarray:
+    """softplus D loss (vq_loss.py:21-25)."""
+    return 0.5 * (
+        jnp.mean(jax.nn.softplus(-real_logits))
+        + jnp.mean(jax.nn.softplus(fake_logits))
+    )
+
+
+def non_saturating_d_loss(real_logits, fake_logits) -> jnp.ndarray:
+    """BCE-with-logits D loss (vq_loss.py:28-32): real->1, fake->0.
+    (bce(x, 1) = softplus(-x), bce(x, 0) = softplus(x).)"""
+    return 0.5 * (
+        jnp.mean(jax.nn.softplus(-real_logits))
+        + jnp.mean(jax.nn.softplus(fake_logits))
+    )
+
+
+def hinge_gen_loss(fake_logits: jnp.ndarray) -> jnp.ndarray:
+    return -jnp.mean(fake_logits)
+
+
+def non_saturating_gen_loss(fake_logits: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jax.nn.softplus(-fake_logits))
+
+
+_D_LOSSES = {
+    "hinge": hinge_d_loss,
+    "vanilla": vanilla_d_loss,
+    "non-saturating": non_saturating_d_loss,
+}
+_G_LOSSES = {"hinge": hinge_gen_loss, "non-saturating": non_saturating_gen_loss}
+
+
+def make_vqgan_train_steps(
+    cfg: VQConfig,
+    tcfg: VQTrainConfig,
+    lpips_params: Optional[PyTree] = None,
+    disc_cfg=None,
+):
+    """Full VQGAN training: alternating generator / discriminator steps —
+    the reference's VQLoss two-optimizer protocol (vq_loss.py:120-167 wired
+    by vq_train.py's optimizer_idx loop), TPU-native as two jitted steps.
+
+      generator step:  rec + perceptual (LPIPS) + codebook/commit +
+                       adopt_weight(disc_weight, step >= disc_start) *
+                       [adaptive_weight *] gen_adv(D(recon))
+      discriminator:   adopt_weight * d_loss(D(real), D(stop_grad(recon)))
+
+    The optional adaptive weight is the grad-norm ratio at the decoder's
+    last conv (calculate_adaptive_weight, vq_loss.py:112-118), computed with
+    two extra backward passes w.r.t. that leaf only.
+
+    Returns (init_fn, g_step, d_step):
+      init_fn(params, rng) -> (g_opt, d_params, d_opt, ema_params)
+      g_step(params, g_opt, ema, d_params, pixels, step) -> (params, g_opt, ema, aux)
+      d_step(d_params, d_opt, params, pixels, step) -> (d_params, d_opt, aux)
+    """
+    from .discriminator import (
+        PatchGANConfig,
+        init_patchgan_params,
+        patchgan_logits,
+    )
+
+    disc_cfg = disc_cfg or PatchGANConfig()
+    d_loss_fn = _D_LOSSES[tcfg.disc_loss]
+    g_adv_fn = _G_LOSSES[tcfg.gen_adv_loss]
+    g_tx = optax.adam(tcfg.learning_rate, b1=0.5, b2=0.9)
+    d_tx = optax.adam(tcfg.disc_lr, b1=0.5, b2=0.9)
+
+    def _nll_and_adv(params, d_params, pixels):
+        recon, parts = _vq_forward(params, cfg, pixels)
+        if tcfg.recon_loss == "l1":
+            rec = jnp.mean(jnp.abs(recon - pixels))
+        else:
+            rec = jnp.mean((recon - pixels) ** 2)
+        nll = tcfg.recon_weight * rec
+        p_loss = jnp.float32(0.0)
+        if lpips_params is not None and tcfg.perceptual_weight > 0:
+            p_loss = jnp.mean(lpips(lpips_params, pixels, recon))
+            nll = nll + tcfg.perceptual_weight * p_loss
+        adv = g_adv_fn(patchgan_logits(d_params, recon, disc_cfg))
+        return nll, adv, rec, p_loss, parts, recon
+
+    def _g_loss(params, d_params, pixels, disc_w):
+        nll, adv, rec, p_loss, parts, _ = _nll_and_adv(params, d_params, pixels)
+        loss = nll + parts["codebook"] + tcfg.beta_commit * parts["commit"] + disc_w * adv
+        aux = {
+            "loss": loss, "recon": rec, "perceptual": p_loss,
+            "codebook": parts["codebook"], "commit": parts["commit"],
+            "usage": parts["usage"], "gan_g": adv, "disc_w": disc_w,
+        }
+        return loss, aux
+
+    def _adaptive_weight(params, d_params, pixels):
+        """||d nll/d w_last|| / (||d adv/d w_last|| + 1e-4), clipped, on the
+        decoder's output conv — the taming heuristic that balances the GAN
+        push against the reconstruction gradient scale."""
+
+        def with_last(w_last, pick):
+            p2 = dict(params)
+            dec = dict(p2["decoder"])
+            dec["conv_out_w"] = w_last
+            p2["decoder"] = dec
+            nll, adv, *_ = _nll_and_adv(p2, d_params, pixels)
+            return nll if pick == 0 else adv
+
+        w_last = params["decoder"]["conv_out_w"]
+        g_nll = jax.grad(with_last)(w_last, 0)
+        g_adv = jax.grad(with_last)(w_last, 1)
+        w = jnp.linalg.norm(g_nll.ravel()) / (
+            jnp.linalg.norm(g_adv.ravel()) + 1e-4
+        )
+        return jax.lax.stop_gradient(jnp.clip(w, 0.0, 1e4))
+
+    @jax.jit
+    def g_step(params, g_opt, ema_params, d_params, pixels, step):
+        disc_w = jnp.where(step >= tcfg.disc_start, tcfg.disc_weight, 0.0)
+        if tcfg.disc_adaptive_weight:
+            disc_w = disc_w * _adaptive_weight(params, d_params, pixels)
+        (loss, aux), grads = jax.value_and_grad(_g_loss, has_aux=True)(
+            params, d_params, pixels, disc_w
+        )
+        updates, g_opt = g_tx.update(grads, g_opt, params)
+        params = optax.apply_updates(params, updates)
+        ema_params = jax.tree_util.tree_map(
+            lambda e, p: e * tcfg.ema_decay + p.astype(e.dtype) * (1 - tcfg.ema_decay)
+            if e.dtype in (jnp.float32, jnp.bfloat16) else p,
+            ema_params, params,
+        )
+        return params, g_opt, ema_params, aux
+
+    @jax.jit
+    def d_step(d_params, d_opt, params, pixels, step):
+        recon, _ = _vq_forward(params, cfg, pixels)
+        recon = jax.lax.stop_gradient(recon)
+        disc_w = jnp.where(step >= tcfg.disc_start, tcfg.disc_weight, 0.0)
+
+        def loss_fn(dp):
+            lr_ = patchgan_logits(dp, pixels, disc_cfg)
+            lf_ = patchgan_logits(dp, recon, disc_cfg)
+            return disc_w * d_loss_fn(lr_, lf_), (lr_, lf_)
+
+        (loss, (lr_, lf_)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            d_params
+        )
+        updates, d_opt = d_tx.update(grads, d_opt, d_params)
+        d_params = optax.apply_updates(d_params, updates)
+        aux = {
+            "d_loss": loss,
+            "logits_real": jnp.mean(lr_),
+            "logits_fake": jnp.mean(lf_),
+        }
+        return d_params, d_opt, aux
+
+    def init_fn(params, rng):
+        d_params = init_patchgan_params(rng, disc_cfg)
+        return (
+            g_tx.init(params),
+            d_params,
+            d_tx.init(d_params),
+            jax.tree_util.tree_map(lambda x: x, params),
+        )
+
+    return init_fn, g_step, d_step
 
 
 def make_vq_train_step(cfg: VQConfig, tcfg: VQTrainConfig, disc_fn=None):
