@@ -211,6 +211,59 @@ def bench_lumina():
     ]
     prompt = jnp.asarray(prompts, jnp.int32)
 
+    # BENCH_CONTINUOUS=N streams N prompts through the B slots with
+    # slot refill at 128-step chunk boundaries (core/serving.py) — the fix
+    # for the fixed-batch B=4 collapse (the jitted loop otherwise runs to
+    # the slowest sample; PERF_NOTES batch table).
+    stream_n = int(os.environ.get("BENCH_CONTINUOUS", "0"))
+    if stream_n:
+        import numpy as _np
+
+        from sjd_tpu.core.serving import ContinuousBatcher
+
+        all_prompts = _np.asarray(
+            [
+                list(range(9000 + 7 * b, 9050 + 7 * b))
+                + [IMAGE_START_ID, size_tok, size_tok]
+                for b in range(stream_n)
+            ],
+            _np.int32,
+        )
+        batcher = ContinuousBatcher(eng, params, chunk_steps=128)
+        t0 = time.time()
+        done = batcher.run(jax.random.PRNGKey(0), all_prompts[:batch],
+                           batch=batch)
+        compile_and_run = time.time() - t0
+        t0 = time.time()
+        done = batcher.run(jax.random.PRNGKey(1), all_prompts, batch=batch)
+        latency = time.time() - t0
+        assert len(done) == stream_n
+        gen = int(sum(c.gen_count for c in done))
+        print(json.dumps({
+            "metric": (
+                f"Lumina-mGPT-7B {target}px SJD continuous batching "
+                f"({stream_n} prompts streamed through {batch} slots, CFG, "
+                f"window {window}"
+                + (", int4 W4A16" if quant and bits == 4 else "")
+                + f", init={init})"
+            ),
+            "value": round(60.0 * stream_n / latency, 2),
+            "unit": "images/min",
+            "vs_baseline": round(
+                (60.0 * stream_n / latency) / (60.0 / BASELINE_LATENCY_S), 3
+            ),
+            "stream": stream_n,
+            "slots": batch,
+            "tokens_generated": gen,
+            "wall_s": round(latency, 2),
+            "compile_s": round(compile_and_run - latency * batch / stream_n, 1),
+            "baseline": (
+                f"A100+PyTorch SJD {BASELINE_LATENCY_S}s/image = "
+                f"{round(60.0 / BASELINE_LATENCY_S, 2)} img/min (BASELINE.md)"
+            ),
+        }))
+        return
+
     def run(seed):
         res = eng.generate(params, jax.random.PRNGKey(seed), prompt)
         # device->host fetch: block_until_ready alone can return before the

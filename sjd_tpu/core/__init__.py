@@ -3,6 +3,7 @@ from .drafts import Window, build_window
 from .engine import EngineConfig, GenerateResult, ModelFns, SJDEngine
 from .grammar import GrammarSpec, GrammarState, apply_grammar, init_state, update_state
 from .processors import SamplingParams, process_window_logits
+from .serving import CompletedGeneration, ContinuousBatcher
 
 __all__ = [
     "AcceptResult",
@@ -21,4 +22,6 @@ __all__ = [
     "update_state",
     "SamplingParams",
     "process_window_logits",
+    "CompletedGeneration",
+    "ContinuousBatcher",
 ]

@@ -8,7 +8,7 @@ growing rectangular masks, tensor re-concatenation every step.
 
 Here the whole generation is a single `lax.while_loop` inside one `jax.jit`:
 
-  * static shapes: [B, L_max] token buffer, [layers, S, L_buf, Hkv, D] KV
+  * static shapes: [B, L_max] token buffer, [S, layers, L_buf, Hkv, D] KV
     buffer, [B, W] draft window — nothing grows or shrinks;
   * KV "rollback" is free: acceptance only advances per-sample `length`;
     rejected rows are overwritten by the next window's in-place write;
@@ -167,6 +167,7 @@ class SJDEngine:
         # Emu3 8B 720p cache) plus the copy traffic.
         self._generate = jax.jit(self._generate_impl)
         self._continue = jax.jit(self._continue_impl, donate_argnums=(1,))
+        self._refill = jax.jit(self._refill_impl, donate_argnums=(1,))
 
     # -- public API -----------------------------------------------------------
 
@@ -244,6 +245,143 @@ class SJDEngine:
         state = self._continue(params, state, jnp.int32(cap))
         result = self._result_from_state(state)
         return (result, state) if return_state else result
+
+    def refill(
+        self,
+        params: PyTree,
+        state: EngineState,
+        prompt: jnp.ndarray,  # [B, P] — P must match the original prompt rows
+        refill_mask,  # [B] bool — slots to replace with fresh prompts
+        prompt_mask: Optional[jnp.ndarray] = None,
+        neg_prompt: Optional[jnp.ndarray] = None,
+        neg_mask: Optional[jnp.ndarray] = None,
+        gstate: Optional[grammar_lib.GrammarState] = None,
+        prompt_embeds: Optional[jnp.ndarray] = None,
+        neg_prompt_embeds: Optional[jnp.ndarray] = None,
+    ) -> EngineState:
+        """Continuous batching: replace FINISHED slots with fresh prompts.
+
+        The reference has no analogue (B=1 everywhere); the jitted loop
+        otherwise runs every batch to the slowest sample (PERF_NOTES batch
+        table: B=4 throughput collapsed below B=2). Called between
+        resume() chunks: one prefill forward re-arms the selected slots
+        (tokens/KV/grammar/lengths) while every other slot's state — and
+        the shared rng stream — is preserved BIT-EXACTLY, so live
+        generations are unperturbed (tests/test_continuous_batching.py).
+
+        ``prompt`` must be padded to the same width as the original
+        generate() prompt (serving buckets prompts anyway); rows where
+        ``refill_mask`` is False are ignored. The incoming ``state`` is
+        DONATED. nfe increases by 1 (the refill prefill forward).
+        """
+        B, P = prompt.shape
+        if prompt_mask is None:
+            prompt_mask = jnp.ones((B, P), bool)
+        if gstate is None:
+            gstate = (
+                self.default_gstate(B) if self.default_gstate is not None
+                else grammar_lib.init_state(B)
+            )
+        if self.sampling.do_cfg and self.config.cfg_mode == "neg_prompt":
+            assert neg_prompt is not None, "cfg_mode=neg_prompt requires neg_prompt"
+            if neg_mask is None:
+                neg_mask = jnp.ones_like(neg_prompt, dtype=bool)
+        else:
+            neg_prompt = jnp.zeros((B, 0), jnp.int32)
+            neg_mask = jnp.zeros((B, 0), bool)
+        if prompt_embeds is None:
+            prompt_embeds = jnp.zeros((B, 0, 0), jnp.float32)
+            neg_prompt_embeds = jnp.zeros((B, 0, 0), jnp.float32)
+        elif neg_prompt_embeds is None:
+            neg_prompt_embeds = jnp.zeros_like(prompt_embeds)
+        return self._refill(
+            params, state, prompt, prompt_mask, neg_prompt, neg_mask, gstate,
+            prompt_embeds, neg_prompt_embeds,
+            jnp.asarray(refill_mask, bool),
+        )
+
+    def _refill_impl(
+        self, params, state: EngineState, prompt, prompt_mask, neg_prompt,
+        neg_mask, gstate0, prompt_embeds, neg_prompt_embeds, refill_mask,
+    ) -> EngineState:
+        from ..models.transformer import unpack_int4_params
+
+        params = unpack_int4_params(params)
+        # fresh-slot rng: folded from the live stream WITHOUT advancing it —
+        # unfinished slots' future sampling must be bit-identical to a
+        # no-refill resume
+        rng_fill = jax.random.fold_in(state.rng, state.nfe)
+        # Prefill into a SMALL prompt-rows cache; a second full-size cache
+        # would transiently double KV HBM (OOM at 768px CFG B=4). 512-row
+        # multiples keep the chunked/Pallas attention tiling valid.
+        P_rows = prompt.shape[1]
+        if self.config.cfg_mode == "neg_prompt" and self.sampling.do_cfg:
+            P_rows = max(P_rows, neg_prompt.shape[1])
+        big_rows = state.valid.shape[1]
+        small = min(((P_rows + self.config.window + 512) // 512) * 512, big_rows)
+        fresh = self._prefill_state(
+            params, rng_fill, prompt, prompt_mask, neg_prompt, neg_mask,
+            gstate0, prompt_embeds, neg_prompt_embeds, kv_buf_rows=small,
+        )
+        assert fresh.tokens.shape == state.tokens.shape, (
+            f"refill prompt rows must reproduce the engine's buffer: got "
+            f"{fresh.tokens.shape} vs {state.tokens.shape} — pad refill "
+            f"prompts to the original prompt width"
+        )
+        m_b = refill_mask  # [B]
+        m_s = self._tile(m_b)  # [S]
+
+        def sel(mask):
+            def pick(new, old):
+                m = mask.reshape(mask.shape + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+
+            return pick
+
+        pick_b, pick_s = sel(m_b), sel(m_s)
+        R = fresh.valid.shape[1]  # small-cache rows actually seeded
+
+        def pick_kv(new, old):
+            # KV leaves are [S, n_layers, rows, ...]: slot axis 0, row axis
+            # 2. Only the first R rows carry fresh prompt KV — scatter them
+            # into the donated full buffer; rows past R are untouched (they
+            # are either live slots' history or garbage the refilled slot's
+            # next window write overwrites).
+            m = m_s.reshape((m_s.shape[0],) + (1,) * (new.ndim - 1))
+            head = jnp.where(
+                m, new, jax.lax.slice_in_dim(old, 0, R, axis=2)
+            )
+            return jax.lax.dynamic_update_slice_in_dim(old, head, 0, axis=2)
+
+        kv = jax.tree.map(pick_kv, fresh.kv, state.kv)
+        # valid: fresh rows [0, R) merge in; rows >= R were initialized True
+        # by the original prefill for every slot and stay as-is
+        valid_head = jnp.where(
+            m_s[:, None], fresh.valid, state.valid[:, :R]
+        )
+        valid = jax.lax.dynamic_update_slice_in_dim(
+            state.valid, valid_head, 0, axis=1
+        )
+        gstate = jax.tree.map(pick_b, fresh.gstate, state.gstate)
+        return EngineState(
+            rng=state.rng,  # unadvanced — see above
+            tokens=pick_b(fresh.tokens, state.tokens),
+            length=pick_b(fresh.length, state.length),
+            n_pad=pick_s(fresh.n_pad, state.n_pad),
+            kv=kv,
+            valid=valid,
+            carried_tokens=pick_b(fresh.carried_tokens, state.carried_tokens),
+            carried_probs=pick_b(fresh.carried_probs, state.carried_probs),
+            carried_count=pick_b(fresh.carried_count, state.carried_count),
+            last_prob=pick_b(fresh.last_prob, state.last_prob),
+            gstate=gstate,
+            finished=pick_b(fresh.finished, state.finished),
+            nfe=state.nfe + 1,  # the refill prefill forward
+            steps_multi=state.steps_multi,
+            prompt_len=pick_b(fresh.prompt_len, state.prompt_len),
+            prompt_rows=state.prompt_rows,
+            accept_hist=state.accept_hist,
+        )
 
     def _result_from_state(self, state: EngineState) -> GenerateResult:
         return GenerateResult(
@@ -331,6 +469,25 @@ class SJDEngine:
         from ..models.transformer import unpack_int4_params
 
         params = unpack_int4_params(params)  # see _continue_impl
+        state = self._prefill_state(
+            params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate0,
+            prompt_embeds, neg_prompt_embeds,
+        )
+        # ---- decode loop -----------------------------------------------------
+        return self._continue_impl(params, state, nfe_cap)
+
+    def _prefill_state(
+        self, params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate0,
+        prompt_embeds, neg_prompt_embeds, kv_buf_rows: Optional[int] = None,
+    ) -> EngineState:
+        """Build the post-prefill EngineState (no decode steps). ``params``
+        must already be unpacked (unpack_int4_params).
+
+        ``kv_buf_rows`` overrides the KV buffer length: the refill path
+        prefizes into a SMALL prompt-rows-only cache and scatters those rows
+        into the donated full cache — materializing a second full-size cache
+        just to seed a few slots would transiently double KV HBM (an OOM at
+        the 768px CFG B=4 config)."""
         use_embeds = prompt_embeds.ndim == 3 and prompt_embeds.shape[1] > 0
         cfg = self.config
         B, P = prompt.shape
@@ -353,7 +510,7 @@ class SJDEngine:
         # round the KV buffer to whole 512-row chunks so the live-prefix
         # chunked attention path (models/transformer.py:_attend_chunked)
         # divides exactly; a few extra int8 rows cost ~nothing
-        kv_buf = L_buf + W + 1
+        kv_buf = kv_buf_rows if kv_buf_rows is not None else (L_buf + W + 1)
         align = 512 if kv_buf > 512 else 8
         kv_buf = ((kv_buf + align - 1) // align) * align
         S = B * self._S_factor
@@ -445,7 +602,7 @@ class SJDEngine:
             self.spec, gstate0, y0[:, None], jnp.ones((B,), jnp.int32)
         )
 
-        state = EngineState(
+        return EngineState(
             rng=rng,
             tokens=tokens,
             length=length,
@@ -464,9 +621,6 @@ class SJDEngine:
             prompt_rows=jnp.int32(P),
             accept_hist=jnp.zeros((W + 1,), jnp.int32),
         )
-
-        # ---- decode loop -----------------------------------------------------
-        return self._continue_impl(params, state, nfe_cap)
 
     def _step(self, params: PyTree, st: EngineState, w_step: int) -> EngineState:
         """One decode step over a ``w_step``-wide window (static; either the

@@ -116,13 +116,20 @@ class DecoderConfig:
 class KVCache(NamedTuple):
     """Preallocated per-layer KV buffers.
 
-    k, v: [num_layers, S, L_buf, H_kv, D] in the model compute dtype, or int8
+    k, v: [S, num_layers, L_buf, H_kv, D] in the model compute dtype, or int8
     with per-(position, head) scales when ``DecoderConfig.kv_quant`` is set —
     (row-major position layout: the window write is one contiguous
     [T, H_kv, D] block per sample, which measures ~20%% faster per decode
     step than a head-major layout on v5e) — halving at-rest KV memory and
     the HBM read bandwidth of every decode step
     (the usual TPU serving bottleneck).
+    Axis order: SAMPLE-major, then layer. The decode loop's per-layer
+    scatter (write_kv_layer's vmap over samples) makes XLA prefer an
+    S-outermost physical layout for the while-loop carry; with a
+    [layers, S, ...] logical order that preference forced 2 x 2.5 GB
+    transpose copies whenever the cache crossed a jit boundary in default
+    layout (resume/refill — an OOM at the 768px CFG B=4 config). S-major
+    logical order makes the default layout AND the carry layout identical.
     The live region of sample ``s`` is ``[0, cache_end[s])``; rows past the
     end are garbage that the next window write overwrites. There is no
     rollback operation — this is the TPU replacement for the reference's
@@ -131,7 +138,7 @@ class KVCache(NamedTuple):
 
     k: jnp.ndarray
     v: jnp.ndarray
-    k_scale: Optional[jnp.ndarray] = None  # [layers, S, L_buf, H_kv] bf16
+    k_scale: Optional[jnp.ndarray] = None  # [S, layers, L_buf, H_kv] bf16
     v_scale: Optional[jnp.ndarray] = None
 
     @property
@@ -140,7 +147,7 @@ class KVCache(NamedTuple):
 
 
 def init_kv_cache(cfg: DecoderConfig, batch: int, buf_len: int) -> KVCache:
-    shape = (cfg.num_layers, batch, buf_len, cfg.num_kv_heads, cfg.head_dim)
+    shape = (batch, cfg.num_layers, buf_len, cfg.num_kv_heads, cfg.head_dim)
     if cfg.kv_quant:
         sshape = shape[:-1]
         return KVCache(
@@ -589,14 +596,14 @@ def write_kv(cache: jnp.ndarray, new: jnp.ndarray, offsets: jnp.ndarray) -> jnp.
     if offsets.ndim == 0:
         offsets = jnp.full((cache.shape[0],), offsets, jnp.int32)
 
-    def upd(c, n, o):
-        return jax.lax.dynamic_update_slice(c, n, (o, 0, 0))
+    def upd(c, n, o):  # rank-agnostic: [L, H, D] KV rows or [L, H] scales
+        return jax.lax.dynamic_update_slice(c, n, (o,) + (0,) * (c.ndim - 1))
 
     return jax.vmap(upd)(cache, new, offsets)
 
 
 def write_kv_layer(
-    buf: jnp.ndarray,  # [n_layers, S, L_buf, H, D] (or [.., H] for scales)
+    buf: jnp.ndarray,  # [S, n_layers, L_buf, H, D] (or [.., H] for scales)
     new: jnp.ndarray,  # [S, T, H, D] (or [S, T, H])
     layer: jnp.ndarray,  # scalar int32
     offsets: jnp.ndarray,  # [S] per-sample row offsets
@@ -605,16 +612,19 @@ def write_kv_layer(
 
     The caches ride the layer-scan *carry* (not xs/ys): scan's stacked-output
     path double-buffers, costing a full cache copy (~2.6 GB read+write per 7B
-    CFG step); an in-carry scatter writes only the T new rows in place."""
+    CFG step); an in-carry scatter writes only the T new rows in place.
+    The buffer is SAMPLE-major (see KVCache) so this vmap runs over the
+    leading axis and the carry's preferred physical layout equals the
+    default layout — no transpose copies at jit boundaries."""
     if offsets.ndim == 0:
-        offsets = jnp.full((buf.shape[1],), offsets, jnp.int32)
+        offsets = jnp.full((buf.shape[0],), offsets, jnp.int32)
 
     def upd(c, n, o):  # c: [n_layers, L_buf, H(, D)] (one sample), n: [T, H(, D)]
         return jax.lax.dynamic_update_slice(
             c, n[None], (layer, o) + (0,) * (c.ndim - 2)
         )
 
-    return jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(buf, new, offsets)
+    return jax.vmap(upd)(buf, new, offsets)
 
 
 def _attend(
@@ -855,29 +865,52 @@ def forward(
 
         def attn_block(x):
             qp, kp, vp = linear_multi(x, (p["wq"], p["wk"], p["wv"]), cfg.act_quant)
-            q = qp.reshape(S, T, cfg.num_heads, cfg.head_dim)
-            k = kp.reshape(S, T, cfg.num_kv_heads, cfg.head_dim)
-            v = vp.reshape(S, T, cfg.num_kv_heads, cfg.head_dim)
-            if cfg.qk_norm:
-                q = head_layer_norm(
-                    q, p["q_norm_scale"], p["q_norm_bias"], cfg.qk_norm_eps
+            if attn_impl == "pallas":
+                # fused per-layer epilogue: qk-norm + rope + KV int8
+                # quantization in one Pallas kernel instead of ~8 small XLA
+                # fusions (bit-identical; ops/fused_epilogue.py). Scoped
+                # with the flash-decode kernel: single-chip TPU decode.
+                from ..ops.fused_epilogue import fused_epilogue
+
+                q, k_or_kq, v_or_vq, kscale, vscale = fused_epilogue(
+                    qp, kp, vp,
+                    p.get("q_norm_scale") if cfg.qk_norm else None,
+                    p.get("q_norm_bias") if cfg.qk_norm else None,
+                    p.get("k_norm_scale") if cfg.qk_norm else None,
+                    p.get("k_norm_bias") if cfg.qk_norm else None,
+                    cos, sin,
+                    num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
+                    head_dim=cfg.head_dim, qk_norm=cfg.qk_norm,
+                    quantize=cfg.kv_quant, eps=cfg.qk_norm_eps,
                 )
-                k = head_layer_norm(
-                    k, p["k_norm_scale"], p["k_norm_bias"], cfg.qk_norm_eps
-                )
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
+                k = v = None  # unused below on this path
+            else:
+                q = qp.reshape(S, T, cfg.num_heads, cfg.head_dim)
+                k = kp.reshape(S, T, cfg.num_kv_heads, cfg.head_dim)
+                v = vp.reshape(S, T, cfg.num_kv_heads, cfg.head_dim)
+                if cfg.qk_norm:
+                    q = head_layer_norm(
+                        q, p["q_norm_scale"], p["q_norm_bias"], cfg.qk_norm_eps
+                    )
+                    k = head_layer_norm(
+                        k, p["k_norm_scale"], p["k_norm_bias"], cfg.qk_norm_eps
+                    )
+                q = apply_rope(q, cos, sin)
+                k = apply_rope(k, cos, sin)
             if cfg.kv_quant:
-                kq, kscale = _quantize_rows(k)
-                vq, vscale = _quantize_rows(v)
+                if attn_impl == "pallas":
+                    kq, vq = k_or_kq, v_or_vq
+                else:
+                    kq, kscale = _quantize_rows(k)
+                    vq, vscale = _quantize_rows(v)
                 kb = write_kv_layer(k_buf, kq, i, cache_end)
                 vb = write_kv_layer(v_buf, vq, i, cache_end)
                 ksb = write_kv_layer(ks_buf, kscale, i, scale_end)
                 vsb = write_kv_layer(vs_buf, vscale, i, scale_end)
-                k_all_q = jax.lax.dynamic_index_in_dim(kb, i, 0, keepdims=False)
-                v_all_q = jax.lax.dynamic_index_in_dim(vb, i, 0, keepdims=False)
-                ks_all = jax.lax.dynamic_index_in_dim(ksb, i, 0, keepdims=False)
-                vs_all = jax.lax.dynamic_index_in_dim(vsb, i, 0, keepdims=False)
+                k_all_q = jax.lax.dynamic_index_in_dim(kb, i, 1, keepdims=False)
+                v_all_q = jax.lax.dynamic_index_in_dim(vb, i, 1, keepdims=False)
+                ks_all = jax.lax.dynamic_index_in_dim(ksb, i, 1, keepdims=False)
+                vs_all = jax.lax.dynamic_index_in_dim(vsb, i, 1, keepdims=False)
                 if attn_impl == "pallas":
                     from ..ops.decode_attention import decode_attention
 
@@ -902,10 +935,12 @@ def forward(
                     )
                 caches = (kb, vb, ksb, vsb)
             else:
+                if attn_impl == "pallas":
+                    k, v = k_or_kq, v_or_vq
                 kb = write_kv_layer(k_buf, k, i, cache_end)
                 vb = write_kv_layer(v_buf, v, i, cache_end)
-                k_all = jax.lax.dynamic_index_in_dim(kb, i, 0, keepdims=False)
-                v_all = jax.lax.dynamic_index_in_dim(vb, i, 0, keepdims=False)
+                k_all = jax.lax.dynamic_index_in_dim(kb, i, 1, keepdims=False)
+                v_all = jax.lax.dynamic_index_in_dim(vb, i, 1, keepdims=False)
                 if attn_impl == "pallas":
                     from ..ops.decode_attention import decode_attention
 

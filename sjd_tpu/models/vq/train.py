@@ -209,6 +209,7 @@ def make_vqgan_train_steps(
     tcfg: VQTrainConfig,
     lpips_params: Optional[PyTree] = None,
     disc_cfg=None,
+    disc_type: str = "patchgan",  # | "stylegan" (vq_train.py --disc-type)
 ):
     """Full VQGAN training: alternating generator / discriminator steps —
     the reference's VQLoss two-optimizer protocol (vq_loss.py:120-167 wired
@@ -228,13 +229,23 @@ def make_vqgan_train_steps(
       g_step(params, g_opt, ema, d_params, pixels, step) -> (params, g_opt, ema, aux)
       d_step(d_params, d_opt, params, pixels, step) -> (d_params, d_opt, aux)
     """
-    from .discriminator import (
-        PatchGANConfig,
-        init_patchgan_params,
-        patchgan_logits,
-    )
+    if disc_type == "stylegan":
+        from .discriminator_stylegan import (
+            StyleGANDiscConfig,
+            init_stylegan_disc_params as init_disc_params,
+            stylegan_disc_logits,
+        )
 
-    disc_cfg = disc_cfg or PatchGANConfig()
+        disc_cfg = disc_cfg or StyleGANDiscConfig()
+        disc_logits = stylegan_disc_logits
+    else:
+        from .discriminator import (
+            PatchGANConfig,
+            init_patchgan_params as init_disc_params,
+            patchgan_logits as disc_logits,
+        )
+
+        disc_cfg = disc_cfg or PatchGANConfig()
     d_loss_fn = _D_LOSSES[tcfg.disc_loss]
     g_adv_fn = _G_LOSSES[tcfg.gen_adv_loss]
     g_tx = optax.adam(tcfg.learning_rate, b1=0.5, b2=0.9)
@@ -251,7 +262,7 @@ def make_vqgan_train_steps(
         if lpips_params is not None and tcfg.perceptual_weight > 0:
             p_loss = jnp.mean(lpips(lpips_params, pixels, recon))
             nll = nll + tcfg.perceptual_weight * p_loss
-        adv = g_adv_fn(patchgan_logits(d_params, recon, disc_cfg))
+        adv = g_adv_fn(disc_logits(d_params, recon, disc_cfg))
         return nll, adv, rec, p_loss, parts, recon
 
     def _g_loss(params, d_params, pixels, disc_w):
@@ -309,8 +320,8 @@ def make_vqgan_train_steps(
         disc_w = jnp.where(step >= tcfg.disc_start, tcfg.disc_weight, 0.0)
 
         def loss_fn(dp):
-            lr_ = patchgan_logits(dp, pixels, disc_cfg)
-            lf_ = patchgan_logits(dp, recon, disc_cfg)
+            lr_ = disc_logits(dp, pixels, disc_cfg)
+            lf_ = disc_logits(dp, recon, disc_cfg)
             return disc_w * d_loss_fn(lr_, lf_), (lr_, lf_)
 
         (loss, (lr_, lf_)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -326,7 +337,7 @@ def make_vqgan_train_steps(
         return d_params, d_opt, aux
 
     def init_fn(params, rng):
-        d_params = init_patchgan_params(rng, disc_cfg)
+        d_params = init_disc_params(rng, disc_cfg)
         return (
             g_tx.init(params),
             d_params,

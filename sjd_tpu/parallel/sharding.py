@@ -102,8 +102,8 @@ def apply_named_sharding(mesh: Mesh, params: PyTree, specs: PyTree) -> PyTree:
 
 
 def kv_cache_specs(*, tp: bool = True) -> P:
-    """KV buffers [layers, S, L, Hkv, D]: batch on 'data', kv heads on 'model'."""
-    return P(None, "data", None, "model" if tp else None, None)
+    """KV buffers [S, layers, L, Hkv, D]: batch on 'data', kv heads on 'model'."""
+    return P("data", None, None, "model" if tp else None, None)
 
 
 def expand_specs_for_quantized(params: PyTree, specs: PyTree) -> PyTree:

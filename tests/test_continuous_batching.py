@@ -1,0 +1,154 @@
+"""Continuous batching (VERDICT r2 weak #4): SJDEngine.refill re-arms
+finished slots from a prompt queue between resume() chunks, while every
+live slot's trajectory — including the shared rng stream — stays
+bit-exact vs a no-refill run."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sjd_tpu.core import SamplingParams
+from sjd_tpu.core.serving import ContinuousBatcher
+
+from helpers import TINY, TINY_GRAMMAR, make_engine, tiny_params
+
+
+def grammar_engine(max_len=64, window=5):
+    """Engine with the tiny image grammar: prompt [.., 48, size, size] opens
+    a grid whose size token sets the latent dims — different size tokens
+    give naturally divergent generation lengths (the continuous-batching
+    scenario)."""
+    # eos = the image-end token, so each slot's generation length is purely
+    # its grid size (49 is grammar-forced at the exact grid end)
+    return make_engine(
+        window=window, scheme="speculative_jacobi", max_len=max_len,
+        cfg_mode="none", grammar=TINY_GRAMMAR,
+        sampling=SamplingParams(do_cfg=False, image_top_k=44, text_top_k=60),
+        eos_id=49,
+    )
+
+
+def grid_prompt(size_tok):
+    # 48 = image start, then two size tokens (h, w)
+    return [1, 2, 48, size_tok, size_tok]
+
+
+def gen_tokens_for(eng, params, prompt_rows, seed=0):
+    res = eng.generate(
+        params, jax.random.PRNGKey(seed), jnp.asarray(prompt_rows, jnp.int32)
+    )
+    return [
+        np.asarray(res.tokens[b, : int(res.length[b])]) for b in range(len(prompt_rows))
+    ]
+
+
+def test_refill_preserves_live_slots_bit_exactly():
+    """Slot 0 finishes early (2x2 grid), slot 1 runs long (4x4): refilling
+    slot 0 mid-flight must not change slot 1's final tokens."""
+    params = tiny_params()
+    eng = grammar_engine()
+    prompts = [grid_prompt(53), grid_prompt(54)]  # sizes 2 and 4
+
+    # ground truth without any refill (single uninterrupted generate)
+    want = gen_tokens_for(eng, params, prompts)
+
+    # chunked run with a refill of slot 0 once it finishes
+    res, state = eng.generate(
+        params, jax.random.PRNGKey(0), jnp.asarray(prompts, jnp.int32),
+        max_steps=4, return_state=True,
+    )
+    refilled = False
+    for _ in range(64):
+        fin = np.asarray(state.finished)
+        if fin.all():
+            break
+        if fin[0] and not refilled:
+            state = eng.refill(
+                params, state,
+                jnp.asarray([grid_prompt(53), grid_prompt(53)], jnp.int32),
+                np.asarray([True, False]),
+            )
+            refilled = True
+        res, state = eng.resume(params, state, max_steps=4, return_state=True)
+    assert refilled, "slot 0 never finished — test setup broken"
+    got1 = np.asarray(state.tokens[1, : int(state.length[1])])
+    np.testing.assert_array_equal(got1, want[1])
+
+
+def test_refill_slot_regenerates_valid_grammar():
+    """The refilled slot must produce a structurally valid image for its NEW
+    prompt (fresh KV prefill + grammar re-arm)."""
+    params = tiny_params()
+    eng = grammar_engine()
+    prompts = [grid_prompt(53), grid_prompt(54)]
+    res, state = eng.generate(
+        params, jax.random.PRNGKey(0), jnp.asarray(prompts, jnp.int32),
+        max_steps=200, return_state=True,
+    )
+    assert bool(np.asarray(state.finished)[0])
+    # refill slot 0 with a 4x4-grid prompt and run to completion
+    state = eng.refill(
+        params, state,
+        jnp.asarray([grid_prompt(54), grid_prompt(54)], jnp.int32),
+        np.asarray([True, False]),
+    )
+    res, state = eng.resume(params, state, max_steps=400, return_state=True)
+    assert bool(np.asarray(state.finished).all())
+    toks = np.asarray(state.tokens[0, 5 : int(state.length[0])])
+    # 4 rows of (4 image tokens + newline 50) then image end 49
+    i = 0
+    for _ in range(4):
+        assert all(4 <= t <= 47 for t in toks[i : i + 4]), toks
+        assert toks[i + 4] == 50
+        i += 5
+    assert toks[i] == 49
+
+
+def test_refill_counts_one_forward():
+    params = tiny_params()
+    eng = grammar_engine()
+    prompts = [grid_prompt(53), grid_prompt(53)]
+    res, state = eng.generate(
+        params, jax.random.PRNGKey(0), jnp.asarray(prompts, jnp.int32),
+        max_steps=200, return_state=True,
+    )
+    nfe0 = int(state.nfe)
+    state = eng.refill(
+        params, state, jnp.asarray(prompts, jnp.int32),
+        np.asarray([True, False]),
+    )
+    assert int(state.nfe) == nfe0 + 1
+
+
+def test_continuous_batcher_stream():
+    """6 prompts through 2 slots: every prompt completes with a valid grid
+    for its own size token, in stream order."""
+    params = tiny_params()
+    eng = grammar_engine()
+    sizes = [53, 54, 53, 54, 53, 53]  # grids 2x2 / 4x4
+    prompts = np.asarray([grid_prompt(s) for s in sizes], np.int32)
+
+    batcher = ContinuousBatcher(eng, params, chunk_steps=8)
+    done = batcher.run(jax.random.PRNGKey(0), prompts, batch=2)
+    assert [c.prompt_index for c in done] == list(range(6))
+    for c, size_tok in zip(done, sizes):
+        side = (size_tok - 52) * 2
+        toks = c.tokens[5:]
+        i = 0
+        for _ in range(side):
+            assert all(4 <= t <= 47 for t in toks[i : i + side])
+            assert toks[i + side] == 50
+            i += side + 1
+        assert toks[i] == 49
+
+
+def test_continuous_batcher_single_chunk_tail():
+    """Queue shorter than the batch: dead slots idle out cleanly."""
+    params = tiny_params()
+    eng = grammar_engine()
+    prompts = np.asarray([grid_prompt(53)], np.int32)
+    batcher = ContinuousBatcher(eng, params, chunk_steps=16)
+    done = batcher.run(jax.random.PRNGKey(1), prompts, batch=4)
+    assert len(done) == 1 and done[0].prompt_index == 0

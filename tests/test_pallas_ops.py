@@ -142,3 +142,109 @@ def test_decode_attention_int8_gqa_close_to_fp():
     want = _reference_attn(q, k, v, cache_end, valid, W)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0.05, atol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# fused layer epilogue (qk-norm + rope + KV int8 quantize)
+# ---------------------------------------------------------------------------
+
+
+def _unfused_epilogue(qp, kp, vp, qns, qnb, kns, knb, cos, sin, H, Hkv, D,
+                      qk_norm, quantize, eps=1e-5):
+    from sjd_tpu.models.transformer import (
+        _quantize_rows,
+        apply_rope,
+        head_layer_norm,
+    )
+
+    S, T = qp.shape[:2]
+    q = qp.reshape(S, T, H, D)
+    k = kp.reshape(S, T, Hkv, D)
+    v = vp.reshape(S, T, Hkv, D)
+    if qk_norm:
+        q = head_layer_norm(q, qns, qnb, eps)
+        k = head_layer_norm(k, kns, knb, eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    if quantize:
+        kq, ks = _quantize_rows(k)
+        vq, vs = _quantize_rows(v)
+        return q, kq, vq, ks, vs
+    return q, k, v, None, None
+
+
+import pytest
+
+
+@pytest.mark.parametrize("qk_norm,quantize", [
+    (True, True), (True, False), (False, True), (False, False),
+])
+def test_fused_epilogue_bit_matches_unfused(qk_norm, quantize):
+    from sjd_tpu.ops.fused_epilogue import fused_epilogue
+
+    S, T, H, Hkv, D = 2, 4, 4, 2, 8
+    key = jax.random.PRNGKey(3)
+    ks_ = jax.random.split(key, 8)
+    dt = jnp.float32
+    qp = jax.random.normal(ks_[0], (S, T, H * D), dt)
+    kp = jax.random.normal(ks_[1], (S, T, Hkv * D), dt)
+    vp = jax.random.normal(ks_[2], (S, T, Hkv * D), dt) * 3.0
+    qns = 1.0 + 0.1 * jax.random.normal(ks_[3], (H, D), dt)
+    qnb = 0.1 * jax.random.normal(ks_[4], (H, D), dt)
+    kns = 1.0 + 0.1 * jax.random.normal(ks_[5], (Hkv, D), dt)
+    knb = 0.1 * jax.random.normal(ks_[6], (Hkv, D), dt)
+    ang = jax.random.uniform(ks_[7], (S, T, D), jnp.float32, 0, 3.0)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    got = fused_epilogue(
+        qp, kp, vp,
+        qns if qk_norm else None, qnb if qk_norm else None,
+        kns if qk_norm else None, knb if qk_norm else None,
+        cos, sin, num_heads=H, num_kv_heads=Hkv, head_dim=D,
+        qk_norm=qk_norm, quantize=quantize, interpret=True,
+    )
+    want = _unfused_epilogue(qp, kp, vp, qns, qnb, kns, knb, cos, sin,
+                             H, Hkv, D, qk_norm, quantize)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=1e-6, atol=1e-6)  # q
+    if quantize:
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+        np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(want[2]))
+        np.testing.assert_allclose(np.asarray(got[3], np.float32),
+                                   np.asarray(want[3], np.float32),
+                                   rtol=1e-2)
+        np.testing.assert_allclose(np.asarray(got[4], np.float32),
+                                   np.asarray(want[4], np.float32),
+                                   rtol=1e-2)
+    else:
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_fused_epilogue_bf16_matches_unfused():
+    """bf16 compute dtype (production) — the cast points inside the kernel
+    mirror the unfused chain, so outputs are bit-identical."""
+    from sjd_tpu.ops.fused_epilogue import fused_epilogue
+
+    S, T, H, Hkv, D = 1, 4, 2, 2, 8
+    key = jax.random.PRNGKey(9)
+    ks_ = jax.random.split(key, 4)
+    qp = jax.random.normal(ks_[0], (S, T, H * D), jnp.bfloat16)
+    kp = jax.random.normal(ks_[1], (S, T, Hkv * D), jnp.bfloat16)
+    vp = jax.random.normal(ks_[2], (S, T, Hkv * D), jnp.bfloat16)
+    qns = jnp.ones((H, D), jnp.bfloat16)
+    qnb = jnp.zeros((H, D), jnp.bfloat16)
+    ang = jax.random.uniform(ks_[3], (S, T, D), jnp.float32, 0, 3.0)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    got = fused_epilogue(qp, kp, vp, qns, qnb, qns, qnb, cos, sin,
+                         num_heads=H, num_kv_heads=Hkv, head_dim=D,
+                         qk_norm=True, quantize=True, interpret=True)
+    want = _unfused_epilogue(qp, kp, vp, qns, qnb, qns, qnb, cos, sin,
+                             H, Hkv, D, True, True)
+    np.testing.assert_array_equal(
+        np.asarray(got[0], np.float32), np.asarray(want[0], np.float32))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(want[2]))

@@ -253,3 +253,93 @@ def test_adaptive_weight_finite():
     p2, _, _, aux = g_step(params, g_opt, ema, d_params, pixels, jnp.int32(0))
     assert np.isfinite(float(aux["disc_w"])) and float(aux["disc_w"]) >= 0
     assert np.isfinite(float(aux["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN discriminator
+# ---------------------------------------------------------------------------
+
+
+def test_stylegan_disc_matches_reference():
+    """Architecture parity vs the reference torch Discriminator
+    (discriminator_stylegan.py) with identical weights. The reference's Blur
+    needs kornia.filter2d (absent here); its documented behavior —
+    normalized kernel, reflect padding, depthwise — is substituted with
+    torch.nn.functional ops on the torch side, so both sides implement the
+    same published spec."""
+    import math
+
+    import torch.nn.functional as F
+
+    from sjd_tpu.models.vq.discriminator_stylegan import (
+        StyleGANDiscConfig,
+        init_stylegan_disc_params,
+        stylegan_disc_logits,
+    )
+
+    cfg = StyleGANDiscConfig(image_size=32)
+    params = init_stylegan_disc_params(jax.random.PRNGKey(0), cfg)
+    rs = np.random.RandomState(0)
+    x = np.tanh(rs.randn(2, 32, 32, 3)).astype(np.float32)
+
+    def tw(p):  # HWIO -> OIHW
+        return torch.from_numpy(np.asarray(p["w"]).transpose(3, 2, 0, 1))
+
+    def tb(p):
+        return torch.from_numpy(np.asarray(p["b"]))
+
+    def conv(t, p, stride=1):
+        k = p["w"].shape[0]
+        return F.conv2d(t, tw(p), tb(p), stride=stride, padding=(k - 1) // 2)
+
+    def lrelu(t):
+        return F.leaky_relu(t, 0.2)
+
+    def blur(t):
+        f = torch.tensor([1.0, 2.0, 1.0])
+        k = (f[:, None] * f[None, :]) / 16.0
+        C = t.shape[1]
+        kd = k[None, None].repeat(C, 1, 1, 1)
+        tp = F.pad(t, (1, 1, 1, 1), mode="reflect")
+        return F.conv2d(tp, kd, groups=C)
+
+    t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    t = lrelu(conv(t, params["stem"]))
+    for blk in params["blocks"]:
+        res = conv(t, blk["res"], stride=2)
+        h = lrelu(conv(t, blk["net1"]))
+        h = lrelu(conv(h, blk["net2"]))
+        h = conv(blur(h), blk["down"], stride=2)
+        t = (h + res) / math.sqrt(2.0)
+    t = lrelu(conv(t, params["final_conv"]))
+    t = t.reshape(t.shape[0], -1)
+    t = lrelu(t @ torch.from_numpy(np.asarray(params["fc1"]["w"]))
+              + torch.from_numpy(np.asarray(params["fc1"]["b"])))
+    want = (t @ torch.from_numpy(np.asarray(params["fc2"]["w"]))
+            + torch.from_numpy(np.asarray(params["fc2"]["b"]))).detach().numpy()
+
+    ours = np.asarray(stylegan_disc_logits(params, jnp.asarray(x), cfg))
+    np.testing.assert_allclose(ours, want, rtol=2e-4, atol=2e-4)
+    assert ours.shape == (2, 1)
+
+
+def test_vqgan_training_with_stylegan_disc():
+    """disc_type='stylegan' wires through the alternating trainer."""
+    from sjd_tpu.models.vq.discriminator_stylegan import StyleGANDiscConfig
+    from sjd_tpu.models.vq.train import make_vqgan_train_steps
+
+    params = init_vq_params(jax.random.PRNGKey(0), CFG)
+    tcfg = VQTrainConfig(disc_start=0, perceptual_weight=0.0)
+    init_fn, g_step, d_step = make_vqgan_train_steps(
+        CFG, tcfg, disc_type="stylegan",
+        disc_cfg=StyleGANDiscConfig(image_size=16),
+    )
+    g_opt, d_params, d_opt, ema = init_fn(params, jax.random.PRNGKey(1))
+    rs = np.random.RandomState(0)
+    pixels = jnp.asarray(np.tanh(rs.randn(2, 16, 16, 3)).astype(np.float32))
+    params, g_opt, ema, g_aux = g_step(params, g_opt, ema, d_params, pixels,
+                                       jnp.int32(0))
+    d_params, d_opt, d_aux = d_step(d_params, d_opt, params, pixels,
+                                    jnp.int32(0))
+    assert np.isfinite(float(g_aux["loss"]))
+    assert np.isfinite(float(d_aux["d_loss"]))
