@@ -231,7 +231,9 @@ def bench_lumina():
         )
         batcher = ContinuousBatcher(eng, params, chunk_steps=128)
         t0 = time.time()
-        done = batcher.run(jax.random.PRNGKey(0), all_prompts[:batch],
+        # warmup must stream MORE prompts than slots so the refill program
+        # compiles here, not inside the measured run
+        done = batcher.run(jax.random.PRNGKey(0), all_prompts[: batch + 1],
                            batch=batch)
         compile_and_run = time.time() - t0
         t0 = time.time()
@@ -256,7 +258,9 @@ def bench_lumina():
             "slots": batch,
             "tokens_generated": gen,
             "wall_s": round(latency, 2),
-            "compile_s": round(compile_and_run - latency * batch / stream_n, 1),
+            "compile_s": round(
+                compile_and_run - latency * (batch + 1) / stream_n, 1
+            ),
             "baseline": (
                 f"A100+PyTorch SJD {BASELINE_LATENCY_S}s/image = "
                 f"{round(60.0 / BASELINE_LATENCY_S, 2)} img/min (BASELINE.md)"

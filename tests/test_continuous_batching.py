@@ -152,3 +152,54 @@ def test_continuous_batcher_single_chunk_tail():
     batcher = ContinuousBatcher(eng, params, chunk_steps=16)
     done = batcher.run(jax.random.PRNGKey(1), prompts, batch=4)
     assert len(done) == 1 and done[0].prompt_index == 0
+
+
+def test_refill_under_neg_prompt_cfg():
+    """Emu3-style CFG (separate left-padded negative prompt): refill must
+    rebuild BOTH halves of the doubled batch for the refilled slot and
+    leave the live slot's cond+uncond KV untouched."""
+    from sjd_tpu.core import SamplingParams
+    from helpers import TINY_GRAMMAR, make_engine, tiny_params
+
+    params = tiny_params()
+    eng = make_engine(
+        window=5, scheme="speculative_jacobi", max_len=64,
+        cfg_mode="neg_prompt", grammar=TINY_GRAMMAR,
+        sampling=SamplingParams(do_cfg=True, guidance_scale=2.0,
+                                image_top_k=44, text_top_k=60),
+        eos_id=49,
+    )
+    prompts = [grid_prompt(53), grid_prompt(54)]
+    neg = [[7, 8, 48, 53, 53], [7, 8, 48, 54, 54]]
+
+    want = eng.generate(
+        params, jax.random.PRNGKey(0), jnp.asarray(prompts, jnp.int32),
+        neg_prompt=jnp.asarray(neg, jnp.int32),
+    )
+    want1 = np.asarray(want.tokens[1, : int(want.length[1])])
+
+    res, state = eng.generate(
+        params, jax.random.PRNGKey(0), jnp.asarray(prompts, jnp.int32),
+        neg_prompt=jnp.asarray(neg, jnp.int32),
+        max_steps=4, return_state=True,
+    )
+    refilled = False
+    for _ in range(64):
+        fin = np.asarray(state.finished)
+        if fin.all():
+            break
+        if fin[0] and not refilled:
+            state = eng.refill(
+                params, state,
+                jnp.asarray([grid_prompt(53)] * 2, jnp.int32),
+                np.asarray([True, False]),
+                neg_prompt=jnp.asarray([neg[0]] * 2, jnp.int32),
+            )
+            refilled = True
+        res, state = eng.resume(params, state, max_steps=4, return_state=True)
+    assert refilled
+    got1 = np.asarray(state.tokens[1, : int(state.length[1])])
+    np.testing.assert_array_equal(got1, want1)
+    # refilled slot produced a structurally valid 2x2 grid
+    toks = np.asarray(state.tokens[0, 5 : int(state.length[0])])
+    assert all(4 <= t <= 47 for t in toks[0:2]) and toks[2] == 50
