@@ -271,9 +271,14 @@ class SJDEngine:
 
         ``prompt`` must be padded to the same width as the original
         generate() prompt (serving buckets prompts anyway); rows where
-        ``refill_mask`` is False are ignored. The incoming ``state`` is
-        DONATED. nfe increases by 1 (the refill prefill forward).
+        ``refill_mask`` is False are ignored. For embedding-conditioned
+        engines (LlamaGen) pass ``prompt_embeds`` and prompt=None, exactly
+        like generate(). The incoming ``state`` is DONATED. nfe increases
+        by 1 (the refill prefill forward).
         """
+        if prompt_embeds is not None and prompt is None:
+            B, P = prompt_embeds.shape[:2]
+            prompt = jnp.zeros((B, P), jnp.int32)
         B, P = prompt.shape
         if prompt_mask is None:
             prompt_mask = jnp.ones((B, P), bool)
@@ -283,9 +288,18 @@ class SJDEngine:
                 else grammar_lib.init_state(B)
             )
         if self.sampling.do_cfg and self.config.cfg_mode == "neg_prompt":
-            assert neg_prompt is not None, "cfg_mode=neg_prompt requires neg_prompt"
-            if neg_mask is None:
-                neg_mask = jnp.ones_like(neg_prompt, dtype=bool)
+            if prompt_embeds is not None:
+                assert neg_prompt_embeds is not None and (
+                    neg_prompt_embeds.shape == prompt_embeds.shape
+                ), "embedding refill requires same-shape neg_prompt_embeds"
+                neg_prompt = jnp.zeros((B, P), jnp.int32)
+                neg_mask = jnp.ones((B, P), bool)
+            else:
+                assert neg_prompt is not None, (
+                    "cfg_mode=neg_prompt requires neg_prompt"
+                )
+                if neg_mask is None:
+                    neg_mask = jnp.ones_like(neg_prompt, dtype=bool)
         else:
             neg_prompt = jnp.zeros((B, 0), jnp.int32)
             neg_mask = jnp.zeros((B, 0), bool)

@@ -203,3 +203,63 @@ def test_refill_under_neg_prompt_cfg():
     # refilled slot produced a structurally valid 2x2 grid
     toks = np.asarray(state.tokens[0, 5 : int(state.length[0])])
     assert all(4 <= t <= 47 for t in toks[0:2]) and toks[2] == 50
+
+
+def test_refill_with_embedding_prompts():
+    """LlamaGen-style conditioning: the refill path re-prefills a slot from
+    prompt EMBEDDINGS (class/caption prefix) while the live slot continues
+    bit-exactly."""
+    from sjd_tpu.core import EngineConfig, GrammarSpec, SJDEngine
+    from sjd_tpu.models import DecoderConfig, decoder_model_fns, init_params
+    from sjd_tpu.models.llamagen import (
+        LLAMAGEN_GRAMMAR,
+        embed_class,
+        embed_uncond_class,
+        init_cond_params,
+    )
+
+    latent = 4
+    block = latent * latent
+    cfg = DecoderConfig(
+        vocab_size=32, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=8, rope_style="2d",
+        rope_2d_cls_len=1, rope_2d_grid_side=latent, dtype=jnp.float32,
+        max_position_embeddings=64,
+    )
+    rng = jax.random.PRNGKey(0)
+    params = init_params(rng, cfg)
+    cond = init_cond_params(rng, cfg, num_classes=10, model_type="c2i")
+    model = decoder_model_fns(cfg, max_positions=64)
+    eng = SJDEngine(
+        model,
+        EngineConfig(window=5, interval_r=block - 7, max_len=1 + block,
+                     eos_id=-1, cfg_mode="neg_prompt"),
+        LLAMAGEN_GRAMMAR,
+        SamplingParams(do_cfg=True, guidance_scale=4.0, image_top_k=32,
+                       text_top_k=32),
+    )
+    labels = jnp.asarray([3, 7], jnp.int32)
+    pe = embed_class(cond, labels, jnp.float32)
+    ne = embed_uncond_class(cond, 2, jnp.float32)
+
+    want = eng.generate(params, jax.random.PRNGKey(1), prompt_embeds=pe,
+                        neg_prompt_embeds=ne)
+    want1 = np.asarray(want.tokens[1, : int(want.length[1])])
+
+    res, state = eng.generate(params, jax.random.PRNGKey(1), prompt_embeds=pe,
+                              neg_prompt_embeds=ne, max_steps=3,
+                              return_state=True)
+    # c2i images are fixed-length so slots finish together; force the
+    # refill of slot 0 MID-FLIGHT (the mechanism doesn't require the slot
+    # to be finished) and check the live slot 1 is unperturbed
+    pe2 = embed_class(cond, jnp.asarray([5, 5], jnp.int32), jnp.float32)
+    state = eng.refill(params, state, None, np.asarray([True, False]),
+                       prompt_embeds=pe2, neg_prompt_embeds=ne)
+    for _ in range(32):
+        if bool(np.asarray(state.finished).all()):
+            break
+        res, state = eng.resume(params, state, max_steps=3, return_state=True)
+    got1 = np.asarray(state.tokens[1, : int(state.length[1])])
+    np.testing.assert_array_equal(got1, want1)
+    # the refilled slot regenerated a full fixed-length image for label 5
+    assert int(state.length[0]) >= 1 + block
