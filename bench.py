@@ -229,7 +229,10 @@ def bench_lumina():
             ],
             _np.int32,
         )
-        batcher = ContinuousBatcher(eng, params, chunk_steps=128)
+        batcher = ContinuousBatcher(
+            eng, params,
+            chunk_steps=int(os.environ.get("BENCH_CHUNK", "128")),
+        )
         t0 = time.time()
         # warmup must stream MORE prompts than slots so the refill program
         # compiles here, not inside the measured run

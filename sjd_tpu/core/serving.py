@@ -92,21 +92,29 @@ class ContinuousBatcher:
         )
 
         def harvest(state) -> List[int]:
-            """Collect finished slots into ``done``; return their indices."""
+            """Collect finished slots into ``done``; return their indices.
+
+            Fetch order matters through a high-latency device tunnel: the
+            [B] finished flags are one tiny transfer; the [B, L_buf] token
+            rows are fetched ONLY for slots that actually finished (most
+            chunk boundaries harvest nothing)."""
             finished = np.asarray(state.finished)
+            hits = [
+                b for b in range(B) if finished[b] and slot_prompt[b] is not None
+            ]
+            if not hits:
+                return []
             lengths = np.asarray(state.length)
-            rows = np.asarray(state.tokens)
-            out = []
-            for b in range(B):
-                if finished[b] and slot_prompt[b] is not None:
-                    done.append(CompletedGeneration(
-                        prompt_index=slot_prompt[b],
-                        tokens=rows[b, : int(lengths[b])].copy(),
-                        gen_count=int(lengths[b]) - int(state.prompt_rows),
-                    ))
-                    slot_prompt[b] = None
-                    out.append(b)
-            return out
+            prompt_rows = int(state.prompt_rows)
+            for b in hits:
+                row = np.asarray(state.tokens[b, : int(lengths[b])])
+                done.append(CompletedGeneration(
+                    prompt_index=slot_prompt[b],
+                    tokens=row.copy(),
+                    gen_count=int(lengths[b]) - prompt_rows,
+                ))
+                slot_prompt[b] = None
+            return hits
 
         while True:
             freed = harvest(state)
