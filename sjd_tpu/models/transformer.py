@@ -863,9 +863,17 @@ def forward(
             h, i, k_buf, v_buf = carry
             ks_buf = vs_buf = None
 
+        # fused epilogue additionally requires head_dim to be a whole
+        # number of 128-wide lanes: the in-kernel [T, H*D] -> [T, H, D]
+        # reshape only lowers in Mosaic when D is a lane multiple
+        # (D=32 fails with "unsupported shape cast"); production heads
+        # are 128, small test configs fall back to the jnp chain (the
+        # flash-decode attention kernel itself still runs).
+        use_fused = attn_impl == "pallas" and cfg.head_dim % 128 == 0
+
         def attn_block(x):
             qp, kp, vp = linear_multi(x, (p["wq"], p["wk"], p["wv"]), cfg.act_quant)
-            if attn_impl == "pallas":
+            if use_fused:
                 # fused per-layer epilogue: qk-norm + rope + KV int8
                 # quantization in one Pallas kernel instead of ~8 small XLA
                 # fusions (bit-identical; ops/fused_epilogue.py). Scoped
@@ -898,7 +906,7 @@ def forward(
                 q = apply_rope(q, cos, sin)
                 k = apply_rope(k, cos, sin)
             if cfg.kv_quant:
-                if attn_impl == "pallas":
+                if use_fused:
                     kq, vq = k_or_kq, v_or_vq
                 else:
                     kq, kscale = _quantize_rows(k)
@@ -935,7 +943,7 @@ def forward(
                     )
                 caches = (kb, vb, ksb, vsb)
             else:
-                if attn_impl == "pallas":
+                if use_fused:
                     k, v = k_or_kq, v_or_vq
                 kb = write_kv_layer(k_buf, k, i, cache_end)
                 vb = write_kv_layer(v_buf, v, i, cache_end)
