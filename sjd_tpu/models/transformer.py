@@ -915,58 +915,67 @@ def forward(
                 vb = write_kv_layer(v_buf, vq, i, cache_end)
                 ksb = write_kv_layer(ks_buf, kscale, i, scale_end)
                 vsb = write_kv_layer(vs_buf, vscale, i, scale_end)
-                k_all_q = jax.lax.dynamic_index_in_dim(kb, i, 1, keepdims=False)
-                v_all_q = jax.lax.dynamic_index_in_dim(vb, i, 1, keepdims=False)
-                ks_all = jax.lax.dynamic_index_in_dim(ksb, i, 1, keepdims=False)
-                vs_all = jax.lax.dynamic_index_in_dim(vsb, i, 1, keepdims=False)
+                # Pallas paths take the FULL stacked cache and select the
+                # layer in the kernel's index maps: slicing the layer out
+                # here would materialize a whole-buffer copy per layer per
+                # step (XLA can't fuse a slice into a pallas operand) —
+                # measured 3.2 ms/step at S=2 / 12.8 at S=8 on 7B 768px.
                 if attn_impl == "pallas":
                     from ..ops.decode_attention import decode_attention
 
                     out = decode_attention(
-                        q, k_all_q, v_all_q, ks_all, vs_all,
-                        cache_end, valid, window=T,
+                        q, kb, vb, ksb, vsb,
+                        cache_end, valid, window=T, layer=i,
                     )
                 elif attn_impl == "pallas_tp":
                     from ..ops.decode_attention import decode_attention_tp
 
                     out = decode_attention_tp(
-                        q, k_all_q, v_all_q, ks_all, vs_all,
-                        cache_end, valid, window=T,
-                    )
-                elif use_chunked:
-                    out = _attend_chunked(
-                        q, k_all_q, v_all_q, ks_all, vs_all, mask, n_live, chunk
+                        q, kb, vb, ksb, vsb,
+                        cache_end, valid, window=T, layer=i,
                     )
                 else:
-                    out = _attend_quantized(
-                        q, k_all_q, v_all_q, ks_all, vs_all, mask
-                    )
+                    k_all_q = jax.lax.dynamic_index_in_dim(kb, i, 1, keepdims=False)
+                    v_all_q = jax.lax.dynamic_index_in_dim(vb, i, 1, keepdims=False)
+                    ks_all = jax.lax.dynamic_index_in_dim(ksb, i, 1, keepdims=False)
+                    vs_all = jax.lax.dynamic_index_in_dim(vsb, i, 1, keepdims=False)
+                    if use_chunked:
+                        out = _attend_chunked(
+                            q, k_all_q, v_all_q, ks_all, vs_all, mask, n_live, chunk
+                        )
+                    else:
+                        out = _attend_quantized(
+                            q, k_all_q, v_all_q, ks_all, vs_all, mask
+                        )
                 caches = (kb, vb, ksb, vsb)
             else:
                 if use_fused:
                     k, v = k_or_kq, v_or_vq
                 kb = write_kv_layer(k_buf, k, i, cache_end)
                 vb = write_kv_layer(v_buf, v, i, cache_end)
-                k_all = jax.lax.dynamic_index_in_dim(kb, i, 1, keepdims=False)
-                v_all = jax.lax.dynamic_index_in_dim(vb, i, 1, keepdims=False)
                 if attn_impl == "pallas":
                     from ..ops.decode_attention import decode_attention
 
                     out = decode_attention(
-                        q, k_all, v_all, None, None, cache_end, valid, window=T
+                        q, kb, vb, None, None, cache_end, valid,
+                        window=T, layer=i,
                     )
                 elif attn_impl == "pallas_tp":
                     from ..ops.decode_attention import decode_attention_tp
 
                     out = decode_attention_tp(
-                        q, k_all, v_all, None, None, cache_end, valid, window=T
-                    )
-                elif use_chunked:
-                    out = _attend_chunked(
-                        q, k_all, v_all, None, None, mask, n_live, chunk
+                        q, kb, vb, None, None, cache_end, valid,
+                        window=T, layer=i,
                     )
                 else:
-                    out = _attend(q, k_all, v_all, mask)
+                    k_all = jax.lax.dynamic_index_in_dim(kb, i, 1, keepdims=False)
+                    v_all = jax.lax.dynamic_index_in_dim(vb, i, 1, keepdims=False)
+                    if use_chunked:
+                        out = _attend_chunked(
+                            q, k_all, v_all, None, None, mask, n_live, chunk
+                        )
+                    else:
+                        out = _attend(q, k_all, v_all, mask)
                 caches = (kb, vb)
             return linear(out.reshape(S, T, cfg.q_dim), p["wo"], cfg.act_quant), caches
 

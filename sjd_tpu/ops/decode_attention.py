@@ -37,10 +37,11 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 def _flash_decode_kernel(
     cache_end_ref,  # SMEM [S] int32 (scalar prefetch)
+    layer_ref,  # SMEM [1] int32 (scalar prefetch; selects the cache layer)
     q_ref,  # [1, Hkv, GW, D]
-    k_ref,  # [1, C, Hkv, D] int8 or compute dtype
+    k_ref,  # [1, 1, C, Hkv, D] int8 or compute dtype (one layer's chunk)
     v_ref,
-    ks_ref,  # [1, C, Hkv] bf16 (ones when not quantized)
+    ks_ref,  # [1, 1, C, Hkv] bf16 (ones when not quantized)
     vs_ref,
     valid_ref,  # [1, C, 1] int8
     o_ref,  # [1, Hkv, GW, D]
@@ -72,10 +73,10 @@ def _flash_decode_kernel(
     @pl.when(live)
     def _compute():
         q = q_ref[0].astype(jnp.float32)  # [Hkv, GW, D]
-        k = k_ref[0].astype(jnp.float32)  # [C, Hkv, D]
-        v = v_ref[0].astype(jnp.float32)
-        ks = ks_ref[0].astype(jnp.float32)  # [C, Hkv]
-        vs = vs_ref[0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)  # [C, Hkv, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+        ks = ks_ref[0, 0].astype(jnp.float32)  # [C, Hkv]
+        vs = vs_ref[0, 0].astype(jnp.float32)
 
         # batched per-head dot: [Hkv, GW, D] x [Hkv, C, D] -> [Hkv, GW, C]
         kh = k.transpose(1, 0, 2)
@@ -117,17 +118,26 @@ def _flash_decode_kernel(
 )
 def decode_attention(
     q: jnp.ndarray,  # [S, W, H, D]
-    k_cache: jnp.ndarray,  # [S, L, Hkv, D] int8 or bf16 (window rows written)
+    k_cache: jnp.ndarray,  # [S, L, Hkv, D] or FULL [S, NL, L, Hkv, D] (+layer)
     v_cache: jnp.ndarray,
-    k_scale,  # [S, L, Hkv] bf16 or None
+    k_scale,  # [S, L, Hkv] / [S, NL, L, Hkv] bf16, or None
     v_scale,
     cache_end: jnp.ndarray,  # [S] int32
     valid: jnp.ndarray,  # [S, L] bool
     *,
     window: int,
+    layer=None,  # int32 scalar selecting the layer of a 5-D stacked cache
     chunk: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    """``layer`` selects one layer of the full stacked cache INSIDE the
+    kernel's BlockSpec index maps (scalar prefetch): the decode loop passes
+    the whole [S, NL, L, Hkv, D] carry buffer and only the live chunks of
+    that layer are ever DMA'd. The alternative — slicing the layer out with
+    dynamic_index_in_dim before the call — materializes a full [S, L, Hkv, D]
+    copy per layer per step because XLA cannot fuse a slice into a
+    pallas_call operand (measured 3.2 ms/step at S=2, 12.8 at S=8 on the 7B
+    768px config: the copy covers the whole buffer, fill-independent)."""
     S, W, H, D = q.shape
     # `window` is derivable from q and kept only as an API cross-check: a
     # mismatched value would desync the DMA-clamp index maps from the
@@ -135,7 +145,16 @@ def decode_attention(
     assert window == W, (window, W)
     if cache_end.ndim == 0:
         cache_end = jnp.full((S,), cache_end, jnp.int32)
-    L, Hkv = k_cache.shape[1], k_cache.shape[2]
+    if k_cache.ndim == 4:
+        # single-layer caches become a 1-layer stack (free reshape)
+        assert layer is None
+        k_cache, v_cache = k_cache[:, None], v_cache[:, None]
+        if k_scale is not None:
+            k_scale, v_scale = k_scale[:, None], v_scale[:, None]
+        layer = 0
+    assert layer is not None, "5-D stacked cache requires layer="
+    layer_arr = jnp.asarray(layer, jnp.int32).reshape(1)
+    L, Hkv = k_cache.shape[2], k_cache.shape[3]
     group = H // Hkv
     chunk = min(chunk, L)
     if L % chunk:
@@ -155,46 +174,46 @@ def decode_attention(
         last_live = jnp.maximum((ce[s] + window - 1) // chunk, 0)
         return jnp.minimum(c, last_live)
 
-    def chunk_map(s, c, ce):
-        return (s, _live_chunk(s, c, ce), 0, 0)
+    def chunk_map(s, c, ce, li):
+        return (s, li[0], _live_chunk(s, c, ce), 0, 0)
 
-    def chunk_map3(s, c, ce):
+    def scale_map_full(s, c, ce, li):
+        return (s, li[0], _live_chunk(s, c, ce), 0)
+
+    def valid_map(s, c, ce, li):
         return (s, _live_chunk(s, c, ce), 0)
-
-    chunk_map2 = chunk_map3
 
     if k_scale is None:
         # bf16-cache path: the kernel still multiplies by per-row scales,
         # but a single all-ones CHUNK with a pinned block index serves every
         # grid step (constant index -> the pipeline never re-fetches), so no
-        # [S, L, Hkv] buffer is allocated or streamed per decode step
-        k_scale = jnp.ones((S, chunk, Hkv), jnp.bfloat16)
-        v_scale = jnp.ones((S, chunk, Hkv), jnp.bfloat16)
-        scale_map = lambda s, c, ce: (s, 0, 0)  # noqa: E731
+        # [S, NL, L, Hkv] buffer is allocated or streamed per decode step
+        k_scale = jnp.ones((S, 1, chunk, Hkv), jnp.bfloat16)
+        v_scale = jnp.ones((S, 1, chunk, Hkv), jnp.bfloat16)
+        scale_map = lambda s, c, ce, li: (s, 0, 0, 0)  # noqa: E731
     else:
-        scale_map = chunk_map3
-
+        scale_map = scale_map_full
 
     out = pl.pallas_call(
         functools.partial(
             _flash_decode_kernel, chunk=chunk, group=group, n_chunks=n_chunks
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(S, n_chunks),
             in_specs=[
                 pl.BlockSpec(
-                    (1, Hkv, W * group, D), lambda s, c, ce: (s, 0, 0, 0),
+                    (1, Hkv, W * group, D), lambda s, c, ce, li: (s, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec((1, chunk, Hkv, D), chunk_map, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, chunk, Hkv, D), chunk_map, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, chunk, Hkv), scale_map, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, chunk, Hkv), scale_map, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, chunk, 1), chunk_map2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, chunk, Hkv, D), chunk_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, chunk, Hkv, D), chunk_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, chunk, Hkv), scale_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, chunk, Hkv), scale_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chunk, 1), valid_map, memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, Hkv, W * group, D), lambda s, c, ce: (s, 0, 0, 0),
+                (1, Hkv, W * group, D), lambda s, c, ce, li: (s, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
@@ -207,6 +226,7 @@ def decode_attention(
         interpret=interpret,
     )(
         cache_end.astype(jnp.int32),
+        layer_arr,
         qh,
         k_cache,
         v_cache,
@@ -221,7 +241,7 @@ def decode_attention(
 
 def decode_attention_tp(
     q, k_cache, v_cache, k_scale, v_scale, cache_end, valid,
-    *, window: int, axis: str = "model", mesh=None,
+    *, window: int, layer=None, axis: str = "model", mesh=None,
     chunk: int = 512, interpret: bool = False,
 ):
     """Tensor-parallel wrapper: attention is head-parallel, so each TP rank
@@ -229,32 +249,44 @@ def decode_attention_tp(
     the shard_map escape hatch GSPMD needs around pallas_call. ``mesh``
     defaults to the ambient mesh (jax.set_mesh). Sharding contract matches
     parallel/sharding.py: q heads and KV heads split on ``axis``; cache_end
-    and valid replicated."""
+    and valid replicated. Accepts the same 4-D per-layer or 5-D
+    stacked-cache (+``layer``) operands as :func:`decode_attention`."""
     from jax.sharding import PartitionSpec as P
 
     if mesh is None:
         mesh = jax.sharding.get_abstract_mesh()
 
     hs = P(None, None, axis, None)
+    stacked = k_cache.ndim == 5
+    cs = P(None, None, None, axis, None) if stacked else hs
+    ss = P(None, None, None, axis) if stacked else P(None, None, axis)
     quantized = k_scale is not None
+    if layer is None:
+        layer_arr = None
+    else:
+        layer_arr = jnp.asarray(layer, jnp.int32)
 
     if quantized:
-        def local(q, k, v, ks, vs, ce, vd):
-            return decode_attention(q, k, v, ks, vs, ce, vd, window=window,
-                                    chunk=chunk, interpret=interpret)
+        def local(q, k, v, ks, vs, ce, vd, li):
+            return decode_attention(
+                q, k, v, ks, vs, ce, vd, window=window,
+                layer=li if stacked else None, chunk=chunk,
+                interpret=interpret)
 
         return jax.shard_map(
             local, mesh=mesh,
-            in_specs=(hs, hs, hs, P(None, None, axis), P(None, None, axis),
-                      P(), P()),
+            in_specs=(hs, cs, cs, ss, ss, P(), P(), P()),
             out_specs=hs, check_vma=False,
-        )(q, k_cache, v_cache, k_scale, v_scale, cache_end, valid)
+        )(q, k_cache, v_cache, k_scale, v_scale, cache_end, valid,
+          jnp.zeros((), jnp.int32) if layer_arr is None else layer_arr)
 
-    def local(q, k, v, ce, vd):
-        return decode_attention(q, k, v, None, None, ce, vd, window=window,
-                                chunk=chunk, interpret=interpret)
+    def local(q, k, v, ce, vd, li):
+        return decode_attention(
+            q, k, v, None, None, ce, vd, window=window,
+            layer=li if stacked else None, chunk=chunk, interpret=interpret)
 
     return jax.shard_map(
-        local, mesh=mesh, in_specs=(hs, hs, hs, P(), P()),
+        local, mesh=mesh, in_specs=(hs, cs, cs, P(), P(), P()),
         out_specs=hs, check_vma=False,
-    )(q, k_cache, v_cache, cache_end, valid)
+    )(q, k_cache, v_cache, cache_end, valid,
+      jnp.zeros((), jnp.int32) if layer_arr is None else layer_arr)

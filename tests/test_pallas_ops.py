@@ -248,3 +248,35 @@ def test_fused_epilogue_bf16_matches_unfused():
         np.asarray(got[0], np.float32), np.asarray(want[0], np.float32))
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
     np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(want[2]))
+
+
+def test_decode_attention_stacked_layer_select():
+    """5-D stacked-cache path (layer chosen in the BlockSpec index maps via
+    scalar prefetch) is bit-identical to slicing the layer out host-side and
+    using the 4-D path — for every layer, quantized and not."""
+    from sjd_tpu.models.transformer import _quantize_rows
+
+    S, W, H, Hkv, D, L, NL = 2, 4, 4, 2, 8, 64, 3
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (S, W, H, D), jnp.float32)
+    k = jax.random.normal(kk, (S, NL, L, Hkv, D), jnp.float32)
+    v = jax.random.normal(kv_, (S, NL, L, Hkv, D), jnp.float32)
+    cache_end = jnp.asarray([10, 40], jnp.int32)
+    valid = jnp.ones((S, L), bool).at[0, :3].set(False)
+
+    for li in range(NL):
+        got = decode_attention(q, k, v, None, None, cache_end, valid,
+                               window=W, layer=li, interpret=True)
+        want = decode_attention(q, k[:, li], v[:, li], None, None,
+                                cache_end, valid, window=W, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    kq8, ks = _quantize_rows(k)
+    vq8, vs = _quantize_rows(v)
+    li = jnp.asarray(1, jnp.int32)  # traced-scalar layer index, like the scan
+    got = decode_attention(q, kq8, vq8, ks, vs, cache_end, valid,
+                           window=W, layer=li, interpret=True)
+    want = decode_attention(q, kq8[:, 1], vq8[:, 1], ks[:, 1], vs[:, 1],
+                            cache_end, valid, window=W, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
