@@ -840,11 +840,15 @@ def forward(
     #   * long-T forwards (prefill): the kernel's q block and fp32 VMEM
     #     scratch scale with T*group and would blow VMEM at prompt lengths —
     #     prefill runs once, the XLA path is fine there.
+    # The T cutoff is 32 (decode windows), not the kernel's hard limit: the
+    # kernel's f32 score intermediates scale with Hkv*W*group*chunk and a
+    # T=53 prefill through it exceeded the 16 MB scoped-VMEM budget once the
+    # stacked-cache operands landed. Prefill runs once — XLA is fine there.
     attn_impl = cfg.attn_impl
     if attn_impl == "auto":
         single_tpu = jax.default_backend() == "tpu" and jax.device_count() == 1
-        attn_impl = "pallas" if (single_tpu and T <= 64) else "xla"
-    elif attn_impl in ("pallas", "pallas_tp") and T > 64:
+        attn_impl = "pallas" if (single_tpu and T <= 32) else "xla"
+    elif attn_impl in ("pallas", "pallas_tp") and T > 32:
         attn_impl = "xla"
 
     # Live-prefix chunked attention (see _attend_chunked / DecoderConfig

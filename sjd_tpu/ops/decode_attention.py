@@ -161,6 +161,19 @@ def decode_attention(
         # fall back to the largest power-of-two chunk that divides L, or a
         # single whole-buffer chunk (always exact)
         chunk = next((c for c in (512, 256, 128, 64) if c < L and L % c == 0), L)
+    # Scoped-VMEM guard: ~3 live f32 score intermediates [Hkv, GW, chunk],
+    # double-buffered K/V chunk DMAs, and the q/out/acc blocks must fit the
+    # ~16 MB scoped limit; halve the chunk until the estimate fits 14 MB
+    # (the 7B decode config W=16/Hkv=32/chunk=512 lands at ~12.5 MB and
+    # keeps its measured-optimal chunk).
+    gw_pad = (W * group + 7) // 8 * 8
+    kvb = k_cache.dtype.itemsize
+    while chunk > 64 and L % (chunk // 2) == 0 and (
+        3 * Hkv * gw_pad * chunk * 4
+        + 2 * 2 * chunk * Hkv * (D * kvb + 4)
+        + Hkv * gw_pad * D * 12
+    ) > 14 * 1024 * 1024:
+        chunk //= 2
     n_chunks = L // chunk
 
     # [S, W, H, D] -> [S, Hkv, W*G, D] with row r = w*group + g (tiny relayout
