@@ -60,8 +60,10 @@ def bench_emu3():
 
     h = w = int(os.environ.get("BENCH_EMU3_GRID", "90"))
     init = os.environ.get("BENCH_INIT", "repeat_horizon")
+    quant_env = os.environ.get("BENCH_QUANT", "4")
     eng = emu3_engine(h=h, w=w, window=16, guidance_scale=3.0,
-                      image_top_k=2048, init=init)
+                      image_top_k=2048, init=init,
+                      act_quant="int8" if quant_env == "w4a8" else "bf16")
     cfg = eng.model_cfg
     # BENCH_QUANT: 4 = int4 W4A16 (default — the 8B is the most weight-bound
     # config; int8 lm_head for acceptance fidelity), 1/8 = int8 W8A16.
@@ -69,7 +71,7 @@ def bench_emu3():
     # the fused init+quantize jit (16 GB for the 8B -> HBM OOM), and it is a
     # no-op on random weights (no outlier columns). Real-checkpoint loading
     # quantizes host-side ported arrays where the fold costs nothing.
-    bits = 4 if os.environ.get("BENCH_QUANT", "4") == "4" else 8
+    bits = 4 if quant_env in ("4", "w4a8") else 8
     params = jax.jit(
         lambda k: quantize_weights(
             init_params(k, cfg), bits=bits, head_bits=8, config=cfg,
@@ -117,7 +119,9 @@ def bench_emu3():
                 "metric": (
                     f"Emu3-Gen 8B {h}x{w} grid ({h*8}px) SJD end-to-end "
                     "latency (CFG, window 16, "
-                    + ("int4 weights W4A16 (int8 head)"
+                    + (("int4 weights W4A8 (int8 act, int8 head)"
+                        if quant_env == "w4a8"
+                        else "int4 weights W4A16 (int8 head)")
                        if bits == 4 else "int8 weights W8A16")
                     + (f", init={init})" if init != "random" else ")")
                 ),
@@ -157,6 +161,7 @@ def bench_lumina():
     target = 384 if fast else 768
     grid = target // 16
 
+    quant_env = os.environ.get("BENCH_QUANT", "4")
     eng = lumina_engine(
         target_size=target,
         window=window,
@@ -166,6 +171,9 @@ def bench_lumina():
         scheme="speculative_jacobi",
         init=init,
         kv_quant=True,
+        # BENCH_QUANT=w4a8: int8 activations on the int8 MXU — the
+        # batch-serving mode (fidelity: tests/test_quant_fidelity.py)
+        act_quant="int8" if quant_env == "w4a8" else "bf16",
         # generated-token budget = the reference's AR step count for this
         # grid (2357 at 768px: 48x49 grid+eol rows + header/footer tokens,
         # BASELINE.md) so wall-clock and NFE compare 1:1 with the teaser
@@ -177,9 +185,8 @@ def bench_lumina():
     # BENCH_QUANT: 4 = int4 W4A16 (default; equilibrated per-channel packed
     # nibbles, int8 head — half the weight HBM reads), 1/8 = int8 W8A16,
     # 0 = bf16 parity config.
-    quant_env = os.environ.get("BENCH_QUANT", "4")
-    quant = bool(int(quant_env))
-    bits = 4 if quant_env == "4" else 8
+    quant = quant_env != "0"
+    bits = 4 if quant_env in ("4", "w4a8") else 8
     head_bits = int(os.environ.get("BENCH_HEAD_BITS", "8"))
     if quant:
         # Quantized-weight serving mode (W8A16/W4A16; see DecoderConfig
@@ -249,7 +256,8 @@ def bench_lumina():
                 f"Lumina-mGPT-7B {target}px SJD continuous batching "
                 f"({stream_n} prompts streamed through {batch} slots, CFG, "
                 f"window {window}"
-                + (", int4 W4A16" if quant and bits == 4 else "")
+                + ((", int4 W4A8" if quant_env == "w4a8" else ", int4 W4A16")
+                   if quant and bits == 4 else "")
                 + f", init={init})"
             ),
             "value": round(60.0 * stream_n / latency, 2),
@@ -299,7 +307,11 @@ def bench_lumina():
                     f"({batch} image{'s' if batch > 1 else ''}, CFG, window {window}"
                     + (
                         (
-                            f", int4 weights W4A16 (equilibrated, int{head_bits} head)"
+                            (", int4 weights W4A8 (int8 act, "
+                             f"int{head_bits} head)"
+                             if quant_env == "w4a8" else
+                             f", int4 weights W4A16 (equilibrated, "
+                             f"int{head_bits} head)")
                             if bits == 4
                             else ", int8 weights W8A16"
                         )

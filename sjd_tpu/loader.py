@@ -80,14 +80,27 @@ def _image_to_array(image) -> np.ndarray:
     return np.asarray(image, np.float32)
 
 
+_INT4_OPTS = (4, "4", "int4", "w4a8", "int4_a8")
+
+
+def _act_quant_of(quantize) -> str:
+    """"w4a8"/"int4_a8" select int8 activations on the int8 MXU (W4A8 —
+    the batch-serving mode: ~14% faster S=8 steps, identical S=2; fidelity
+    bounds in tests/test_quant_fidelity.py). Everything else serves bf16
+    activations."""
+    return "int8" if quantize in ("w4a8", "int4_a8") else "bf16"
+
+
 def _build_decoder_params(model_cfg, ckpt_dir, quantize):
     """Port (or random-init) decoder params, optionally with quantized
     weights. ``quantize``: False = bf16; True or 8 = int8 W8A16 (the serving
     default; DecoderConfig.act_quant); 4 or "int4" = packed int4 W4A16 with
     per-channel scales + equilibration and an int8 lm_head (half the weight
-    HBM reads — see quantize_weights). Quantization is fused with init/port
-    so bf16 and quantized copies never coexist in HBM (7B bf16 + int8
-    exceed one v5e chip)."""
+    HBM reads — see quantize_weights); "w4a8" = the same int4 weights with
+    int8 activations on the int8 MXU (the loaders pair it with the engine's
+    act_quant="int8" via _act_quant_of). Quantization is fused with
+    init/port so bf16 and quantized copies never coexist in HBM (7B bf16 +
+    int8 exceed one v5e chip)."""
     from sjd_tpu.models import init_params
 
     if ckpt_dir:
@@ -106,7 +119,7 @@ def _build_decoder_params(model_cfg, ckpt_dir, quantize):
 
         from sjd_tpu.models.transformer import quantize_weights
 
-        bits = 4 if quantize in (4, "4", "int4") else 8
+        bits = 4 if quantize in _INT4_OPTS else 8
         quant = functools.partial(
             quantize_weights, bits=bits, head_bits=8, config=model_cfg
         )
@@ -135,7 +148,7 @@ def quantize_ported_params(params: PyTree, model_cfg, quantize) -> PyTree:
 
     from sjd_tpu.models.transformer import quantize_weights
 
-    bits = 4 if quantize in (4, "4", "int4") else 8
+    bits = 4 if quantize in _INT4_OPTS else 8
     quant = functools.partial(
         quantize_weights, bits=bits, head_bits=8, config=model_cfg
     )
@@ -198,6 +211,7 @@ def load_lumina_mgpt(
         image_top_k=image_top_k,
         scheme=scheme,
         init=init,
+        act_quant=_act_quant_of(quantize),
     )
     params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
 
@@ -332,6 +346,7 @@ def load_emu3(
     eng = emu3_engine(
         h=h, w=w, window=window, guidance_scale=guidance_scale,
         image_top_k=image_top_k, scheme=scheme, init=init,
+        act_quant=_act_quant_of(quantize),
     )
     params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
     vq_cfg = EMU3_VQ
@@ -503,7 +518,7 @@ def load_llamagen(
     eng = llamagen_engine(
         name=name, latent_size=latent_size, cls_token_num=cls_token_num,
         window=window, guidance_scale=guidance_scale, image_top_k=image_top_k,
-        scheme=scheme, init=init,
+        scheme=scheme, init=init, act_quant=_act_quant_of(quantize),
     )
     if gpt_ckpt:
         from sjd_tpu.utils.port import load_torch_checkpoint, port_llamagen
@@ -609,6 +624,7 @@ def load_anole(
         window=window, guidance_scale=guidance_scale, image_top_k=image_top_k,
         text_top_k=text_top_k, scheme=scheme, init=init,
         multimodal_generation_mode=multimodal_generation_mode,
+        act_quant=_act_quant_of(quantize),
     )
     params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
     vq_cfg = CHAMELEON_VQ

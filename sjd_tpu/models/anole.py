@@ -80,8 +80,16 @@ def anole_engine(
     dtype=jnp.bfloat16,
     greedy: bool = False,
     multimodal_generation_mode: str = "image-only",
+    act_quant: str = "bf16",
 ) -> SJDEngine:
     cfg = chameleon_config("7B", dtype)
+    if act_quant != "bf16":
+        import dataclasses
+
+        # W4A8/W8A8 serving: int8 activations on the int8 MXU
+        # (transformer.linear_multi; fidelity bounds in
+        # tests/test_quant_fidelity.py)
+        cfg = dataclasses.replace(cfg, act_quant=act_quant)
     if not max_len:
         max_len = IMAGE_SEQ_LENGTH + 128
     # max_len budgets GENERATED tokens only; the rope table must cover

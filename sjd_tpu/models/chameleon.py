@@ -109,10 +109,15 @@ def lumina_engine(
     dtype=jnp.bfloat16,
     greedy: bool = False,
     kv_quant: bool = True,
+    act_quant: str = "bf16",
 ) -> SJDEngine:
     cfg = chameleon_config(size, dtype)
     if kv_quant:
         cfg = dataclasses.replace(cfg, kv_quant=True)
+    if act_quant != "bf16":
+        # W4A8/W8A8 serving: int8 activations on the int8 MXU (transformer
+        # .linear_multi; fidelity bounds in tests/test_quant_fidelity.py)
+        cfg = dataclasses.replace(cfg, act_quant=act_quant)
     grid = target_size // 16
     # image span = header(3) + h rows * (w+1) + <eoss>; add slack for text
     if not max_len:

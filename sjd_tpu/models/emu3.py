@@ -102,10 +102,18 @@ def emu3_engine(
     top_p: float | None = None,
     dtype=jnp.bfloat16,
     greedy: bool = False,
+    act_quant: str = "bf16",
 ) -> SJDEngine:
     if not max_len:
         max_len = h * (w + 1) + 128
     cfg = emu3_config(dtype)
+    if act_quant != "bf16":
+        import dataclasses
+
+        # W4A8/W8A8 serving: int8 activations on the int8 MXU
+        # (transformer.linear_multi; fidelity bounds in
+        # tests/test_quant_fidelity.py)
+        cfg = dataclasses.replace(cfg, act_quant=act_quant)
     # max_len budgets GENERATED tokens only; the rope table must cover
     # prompt + generation, so size from the model's real context limit
     model = decoder_model_fns(

@@ -149,10 +149,18 @@ def llamagen_engine(
     top_p: float | None = None,
     dtype=jnp.bfloat16,
     greedy: bool = False,
+    act_quant: str = "bf16",
 ) -> SJDEngine:
     block = latent_size * latent_size
     cfg = llamagen_config(name, block_size=block, cls_token_num=cls_token_num,
                           dtype=dtype)
+    if act_quant != "bf16":
+        import dataclasses
+
+        # W4A8/W8A8 serving: int8 activations on the int8 MXU
+        # (transformer.linear_multi; fidelity bounds in
+        # tests/test_quant_fidelity.py)
+        cfg = dataclasses.replace(cfg, act_quant=act_quant)
     # generated-token budget: ONLY the image block (conditioning tokens are
     # prompt rows; budgeting them too ran ~cls_token_num wasted forwards
     # past the image under the generated-only max_len semantics)

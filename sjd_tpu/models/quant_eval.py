@@ -159,8 +159,12 @@ def compare_quant_variants(
 
     Default variants: int8 (W8A16), int4_equil (the production fold),
     int4_raw (equilibrate=False — the ablation the equilibration claim is
-    judged against). Values are python floats/lists, printable as JSON.
+    judged against), int4_a8 (W4A8 — int8 activations on the int8 MXU, the
+    batch-serving trade; a variant's "act_quant" key overrides cfg's).
+    Values are python floats/lists, printable as JSON.
     """
+    import dataclasses as _dc
+
     from .transformer import quantize_weights
 
     if variants is None:
@@ -168,16 +172,26 @@ def compare_quant_variants(
             "int8": dict(bits=8),
             "int4_equil": dict(bits=4, head_bits=8, equilibrate=True),
             "int4_raw": dict(bits=4, head_bits=8, equilibrate=False),
+            "int4_a8": dict(bits=4, head_bits=8, equilibrate=True,
+                            act_quant="int8"),
         }
     out: Dict[str, Dict[str, Any]] = {}
     for name, kw in variants.items():
+        kw = dict(kw)
+        cfg_v = cfg
+        act = kw.pop("act_quant", None)
+        if act is not None:
+            # act_quant only affects quantized-dict weights in linear_multi,
+            # so the bf16 reference forward inside fidelity_metrics is
+            # unchanged by this override
+            cfg_v = _dc.replace(cfg, act_quant=act)
         # jitted quantize: eager execution dispatches hundreds of small ops
         # (ruinous through a ~20ms-latency device tunnel) and the fused
         # form never materializes intermediate fp32 copies of every weight
-        pq = jax.jit(lambda p: quantize_weights(p, config=cfg, **kw))(
+        pq = jax.jit(lambda p: quantize_weights(p, config=cfg_v, **kw))(
             params_bf16
         )
-        m = fidelity_metrics(params_bf16, pq, cfg, ids)
+        m = fidelity_metrics(params_bf16, pq, cfg_v, ids)
         out[name] = {
             "kl": float(m["kl"]),
             "top1_agree": float(m["top1_agree"]),

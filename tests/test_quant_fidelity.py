@@ -99,3 +99,17 @@ def test_equilibrated_int4_close_to_bf16_on_outliers(ids):
     # this tiny config with 25x outlier columns is a deliberate stress case;
     # int8 still keeps the bulk of greedy decisions intact
     assert res["int8"]["top1_agree"] >= 0.85
+
+
+def test_w4a8_fidelity_bounded(ids):
+    """W4A8 (int4 weights + int8 activations on the int8 MXU — the
+    batch-serving mode) must stay in the same quality regime as W4A16:
+    activation quantization adds per-token noise, so its KL may exceed
+    int4_equil's, but it must remain far closer to bf16 than raw
+    (unequilibrated) int4, and keep greedy agreement comparable."""
+    params = outlier_params()
+    res = compare_quant_variants(params, CFG, ids)
+    assert res["int4_a8"]["kl"] < res["int4_raw"]["kl"], res
+    assert res["int4_a8"]["top1_agree"] >= res["int4_raw"]["top1_agree"] - 0.05
+    # and the act-quant noise is bounded relative to the weight-only mode
+    assert res["int4_a8"]["kl"] <= 5.0 * max(res["int4_equil"]["kl"], 1e-6), res
