@@ -51,11 +51,19 @@ class ContinuousBatcher:
         *,
         chunk_steps: int = 128,
         make_gstate: Optional[Callable[[List[int]], Any]] = None,
+        row_sharding: Any = None,
     ):
         self.engine = engine
         self.params = params
         self.chunk_steps = chunk_steps
         self.make_gstate = make_gstate
+        # Data-parallel serving: a jax.sharding.Sharding (batch dim split
+        # over the 'data' mesh axis) applied to every prompt batch fed to
+        # generate/refill. The engine state inherits the sharding from its
+        # inputs, so the whole decode loop — including refill/resume chunks
+        # — runs SPMD with slots distributed across chips, bit-identical to
+        # the single-device batcher (tests/test_continuous_batching.py).
+        self.row_sharding = row_sharding
 
     def run(
         self,
@@ -83,6 +91,12 @@ class ContinuousBatcher:
                 if neg_prompts is not None else None
             )
             g = self.make_gstate(list(idx_list)) if self.make_gstate else None
+            if self.row_sharding is not None:
+                import jax
+
+                put = lambda a: jax.device_put(a, self.row_sharding)
+                ids, mask = put(ids), put(mask)
+                neg = put(neg) if neg is not None else None
             return ids, mask, neg, g
 
         ids, mask, neg, g = batch_rows(slot_prompt)

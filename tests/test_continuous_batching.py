@@ -263,3 +263,35 @@ def test_refill_with_embedding_prompts():
     np.testing.assert_array_equal(got1, want1)
     # the refilled slot regenerated a full fixed-length image for label 5
     assert int(state.length[0]) >= 1 + block
+
+
+def test_continuous_batcher_data_parallel_bit_exact():
+    """Slots sharded over the 'data' mesh axis (row_sharding): the whole
+    chunked stream — generate, harvest, refill, resume — runs SPMD and
+    reproduces the single-device batcher bit-exactly. This is the multi-chip
+    continuous-serving configuration (the reference's nearest analogue is
+    process-per-GPU prompt sharding with B=1 and no refill at all)."""
+    from sjd_tpu.parallel import make_mesh
+
+    params = tiny_params()
+    eng = grammar_engine()
+    sizes = [53, 54, 53, 54, 53, 53, 54, 53]
+    prompts = np.asarray([grid_prompt(s) for s in sizes], np.int32)
+
+    want = ContinuousBatcher(eng, params, chunk_steps=8).run(
+        jax.random.PRNGKey(0), prompts, batch=4
+    )
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    rows = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data")
+    )
+    with jax.set_mesh(mesh):
+        got = ContinuousBatcher(
+            eng, params, chunk_steps=8, row_sharding=rows
+        ).run(jax.random.PRNGKey(0), prompts, batch=4)
+
+    assert [c.prompt_index for c in got] == [c.prompt_index for c in want]
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g.tokens, w.tokens)
+        assert g.gen_count == w.gen_count
