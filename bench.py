@@ -12,9 +12,11 @@ faster, so real-weight NFE would be lower. Latency per forward is
 weight-independent.
 
 Baseline: A100 + PyTorch SJD = 47.13 s / 1115 forwards (BASELINE.md).
-Prints one JSON line per benchmarked family — by default the Emu3-Gen 8B
-720p row first, then the flagship Lumina row LAST (the driver parses the
-final line; BENCH_MODEL=lumina|emu3 runs a single family).
+Prints one JSON line per benchmark — by default the Emu3-Gen 8B 720p row,
+then the continuous-batching serving-throughput row (20 prompts / 5 slots /
+W4A8, images/min; BENCH_SERVING=0 skips), then the flagship Lumina
+single-image row LAST (the driver parses the final line;
+BENCH_MODEL=lumina|emu3 runs a single family).
 
 Default config: W4A16 int4-weight serving (packed-nibble weights with
 per-channel scales + exact column equilibration, int8 lm_head for acceptance
@@ -84,6 +86,71 @@ def bench_emu3():
     prompt = jnp.asarray([ids], jnp.int32)
     neg = jnp.asarray([ids[:4]], jnp.int32)
 
+    # BENCH_CONTINUOUS=N + BENCH_BATCH=B: stream N prompts through B slots
+    # with refill at chunk boundaries — the Emu3 serving configuration
+    # (3 slots of 720p CFG KV + the int4 8B fit one 16 GB chip).
+    stream_n = int(os.environ.get("BENCH_CONTINUOUS", "0"))
+    if stream_n:
+        import numpy as _np
+
+        from sjd_tpu.core.serving import ContinuousBatcher
+
+        batch = int(os.environ.get("BENCH_BATCH", "3"))
+        all_prompts = _np.asarray(
+            [
+                build_gen_prompt(
+                    list(range(2000 + 29 * b, 2024 + 29 * b)), h, w,
+                    lambda s: [1500, 1501],
+                )
+                for b in range(stream_n)
+            ],
+            _np.int32,
+        )
+        all_neg = _np.asarray([ids[:4]] * stream_n, _np.int32)
+        batcher = ContinuousBatcher(
+            eng, params,
+            chunk_steps=int(os.environ.get("BENCH_CHUNK", "256")),
+            make_gstate=lambda idx: emu3_grammar_state(len(idx), h, w),
+        )
+        t0 = time.time()
+        done = batcher.run(jax.random.PRNGKey(0), all_prompts[: batch + 1],
+                           batch=batch, neg_prompts=all_neg[: batch + 1])
+        compile_and_run = time.time() - t0
+        t0 = time.time()
+        done = batcher.run(jax.random.PRNGKey(1), all_prompts, batch=batch,
+                           neg_prompts=all_neg)
+        latency = time.time() - t0
+        assert len(done) == stream_n
+        gen = int(sum(c.gen_count for c in done))
+        print(json.dumps({
+            "metric": (
+                f"Emu3-Gen 8B {h}x{w} grid ({h*8}px) SJD continuous batching "
+                f"({stream_n} prompts streamed through {batch} slots, CFG, "
+                "window 16, "
+                + ("int4 W4A8" if quant_env == "w4a8" else "int4 W4A16")
+                + f", init={init})"
+            ),
+            "value": round(stream_n / (latency / 60.0), 2),
+            "unit": "images/min",
+            "vs_baseline": round(
+                (stream_n / (latency / 60.0)) / (60.0 / EMU3_BASELINE_S), 3
+            ),
+            "stream": stream_n,
+            "slots": batch,
+            "tokens_generated": gen,
+            "wall_s": round(latency, 2),
+            # the warmup streamed batch+1 prompts; scale its generation time
+            # out of the compile estimate
+            "compile_s": round(
+                compile_and_run - latency * (batch + 1) / stream_n, 1
+            ),
+            "baseline": (
+                f"A100+PyTorch SJD {EMU3_BASELINE_S}s/image = "
+                f"{60.0 / EMU3_BASELINE_S:.3f} img/min (BASELINE.md)"
+            ),
+        }))
+        return
+
     # chunk the ~4.6k-forward generation into tunnel-safe device dispatches
     # (engine.resume reproduces the single-shot trajectory exactly —
     # tests/test_resume_generation.py)
@@ -139,7 +206,10 @@ def bench_emu3():
     )
 
 
-def bench_lumina():
+def bench_lumina(serving: bool = False):
+    """serving=True runs the continuous-batching throughput row at its tuned
+    configuration (20 prompts / 5 slots / chunk 192 / W4A8 — the measured
+    single-chip optimum, PERF_NOTES.md) regardless of the env knobs."""
     _enable_cache()
     import jax
     import jax.numpy as jnp
@@ -157,11 +227,11 @@ def bench_lumina():
     # (47.06 s) with bit-identical-to-reference numerics.
     init = os.environ.get("BENCH_INIT", "repeat_horizon")
     window = int(os.environ.get("BENCH_WINDOW", "16"))
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    batch = 5 if serving else int(os.environ.get("BENCH_BATCH", "1"))
     target = 384 if fast else 768
     grid = target // 16
 
-    quant_env = os.environ.get("BENCH_QUANT", "4")
+    quant_env = "w4a8" if serving else os.environ.get("BENCH_QUANT", "4")
     eng = lumina_engine(
         target_size=target,
         window=window,
@@ -222,7 +292,9 @@ def bench_lumina():
     # slot refill at 128-step chunk boundaries (core/serving.py) — the fix
     # for the fixed-batch B=4 collapse (the jitted loop otherwise runs to
     # the slowest sample; PERF_NOTES batch table).
-    stream_n = int(os.environ.get("BENCH_CONTINUOUS", "0"))
+    stream_n = (
+        20 if serving else int(os.environ.get("BENCH_CONTINUOUS", "0"))
+    )
     if stream_n:
         import numpy as _np
 
@@ -238,7 +310,10 @@ def bench_lumina():
         )
         batcher = ContinuousBatcher(
             eng, params,
-            chunk_steps=int(os.environ.get("BENCH_CHUNK", "128")),
+            chunk_steps=(
+                192 if serving
+                else int(os.environ.get("BENCH_CHUNK", "128"))
+            ),
         )
         t0 = time.time()
         # warmup must stream MORE prompts than slots so the refill program
@@ -353,6 +428,11 @@ def main():
     else:
         bench_emu3()
         gc.collect()  # free the 8B params + 720p KV before the 7B build
+        if os.environ.get("BENCH_SERVING", "1") != "0":
+            # driver-verified throughput row: continuous batching at the
+            # tuned single-chip configuration (BENCH_SERVING=0 skips)
+            bench_lumina(serving=True)
+            gc.collect()
         bench_lumina()
 
 

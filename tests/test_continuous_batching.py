@@ -295,3 +295,38 @@ def test_continuous_batcher_data_parallel_bit_exact():
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g.tokens, w.tokens)
         assert g.gen_count == w.gen_count
+
+
+def test_continuous_batcher_neg_prompt_stream():
+    """The Emu3 serving configuration end-to-end through the batcher:
+    neg-prompt CFG (separate left-padded negative per stream prompt) +
+    make_gstate, streamed with refill. Every completion must carry a valid
+    grid for its own size token."""
+    from sjd_tpu.core import SamplingParams
+    from helpers import TINY_GRAMMAR, make_engine, tiny_params
+
+    params = tiny_params()
+    eng = make_engine(
+        window=5, scheme="speculative_jacobi", max_len=64,
+        cfg_mode="neg_prompt", grammar=TINY_GRAMMAR,
+        sampling=SamplingParams(do_cfg=True, guidance_scale=2.0,
+                                image_top_k=44, text_top_k=60),
+        eos_id=49,
+    )
+    sizes = [53, 54, 53, 53, 54]
+    prompts = np.asarray([grid_prompt(s) for s in sizes], np.int32)
+    negs = np.asarray([[7, 8, 48, s, s] for s in sizes], np.int32)
+
+    batcher = ContinuousBatcher(eng, params, chunk_steps=8)
+    done = batcher.run(jax.random.PRNGKey(0), prompts, batch=2,
+                       neg_prompts=negs)
+    assert [c.prompt_index for c in done] == list(range(len(sizes)))
+    for c, size_tok in zip(done, sizes):
+        side = (size_tok - 52) * 2
+        toks = c.tokens[5:]
+        i = 0
+        for _ in range(side):
+            assert all(4 <= t <= 47 for t in toks[i : i + side])
+            assert toks[i + side] == 50
+            i += side + 1
+        assert toks[i] == 49
