@@ -87,15 +87,17 @@ def bench_emu3():
     neg = jnp.asarray([ids[:4]], jnp.int32)
 
     # BENCH_CONTINUOUS=N + BENCH_BATCH=B: stream N prompts through B slots
-    # with refill at chunk boundaries — the Emu3 serving configuration
-    # (3 slots of 720p CFG KV + the int4 8B fit one 16 GB chip).
+    # with refill at chunk boundaries — the Emu3 serving configuration.
+    # 2 slots are the 16 GB ceiling: 720p CFG KV (1.1 GB/slot) + the int4
+    # 8B packed+s4 (~8 GB) + the 184k-vocab bf16 embedding / int8 head
+    # (~2.3 GB); 3 slots OOM (measured, PERF_NOTES.md).
     stream_n = int(os.environ.get("BENCH_CONTINUOUS", "0"))
     if stream_n:
         import numpy as _np
 
         from sjd_tpu.core.serving import ContinuousBatcher
 
-        batch = int(os.environ.get("BENCH_BATCH", "3"))
+        batch = int(os.environ.get("BENCH_BATCH", "2"))
         all_prompts = _np.asarray(
             [
                 build_gen_prompt(

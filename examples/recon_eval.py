@@ -114,8 +114,14 @@ def main():
     for i in range(0, len(originals), args.batch):
         recons.append(roundtrip(originals[i : i + args.batch]))
     recons = np.concatenate(recons, axis=0)[: len(originals)]
-    if recons.shape[1] != originals.shape[1]:  # emu3 returns full-res frames
-        recons = recons[:, : originals.shape[1], : originals.shape[2]]
+    if recons.shape[1:3] != originals.shape[1:3]:
+        # emu3 returns full-res frames (recon larger: crop it); a --size not
+        # divisible by the downsample factor yields a SMALLER recon (crop
+        # the originals to the common grid instead of crashing in the MSE)
+        h = min(recons.shape[1], originals.shape[1])
+        w = min(recons.shape[2], originals.shape[2])
+        recons = recons[:, :h, :w]
+        originals = originals[:, :h, :w]
 
     if args.out:
         from PIL import Image

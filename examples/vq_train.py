@@ -107,20 +107,47 @@ def main():
         disc_adaptive_weight=args.adaptive_weight, recon_loss="l2",
     )
 
-    if args.lpips_lins:
+    if args.lpips_lins or args.vgg_ckpt:
+        from sjd_tpu.models.vq.lpips import port_vgg16_features
         from sjd_tpu.utils.port import load_torch_checkpoint
 
-        lpips_params = port_lpips(
-            load_torch_checkpoint(args.lpips_lins),
-            load_torch_checkpoint(args.vgg_ckpt) if args.vgg_ckpt else None,
-        )
+        if args.lpips_lins:
+            lpips_params = port_lpips(
+                load_torch_checkpoint(args.lpips_lins),
+                load_torch_checkpoint(args.vgg_ckpt) if args.vgg_ckpt else None,
+            )
+        else:
+            # VGG backbone only: calibrated features, random (identity-ish)
+            # lins — still a trained-feature distance, unlike full random init
+            lpips_params = init_lpips_params(jax.random.PRNGKey(1))
+            lpips_params["convs"] = port_vgg16_features(
+                load_torch_checkpoint(args.vgg_ckpt)
+            )
+            lpips_params["calibrated"] = True
+            print("vq_train: --vgg-ckpt without --lpips-lins: VGG features "
+                  "ported, LPIPS lins random (pass --lpips-lins for the "
+                  "calibrated taming weights)")
     else:
         lpips_params = init_lpips_params(jax.random.PRNGKey(1))
+        if args.perceptual_weight:
+            print("vq_train: no --vgg-ckpt/--lpips-lins — the perceptual "
+                  "term uses RANDOM-init VGG features (smoke mode)")
 
     params = init_vq_params(jax.random.PRNGKey(args.seed), cfg)
+    # PatchGAN depth must fit the image: at the reference default n_layers=3
+    # anything under 32 px collapses to an EMPTY patch map (mean -> NaN).
+    # 4 stride-2 halvings need size >= 64 for a non-empty k4 logit map.
+    import math as _math
+
+    from sjd_tpu.models.vq.discriminator import PatchGANConfig
+
+    n_layers = max(1, min(3, int(_math.log2(max(args.size, 16))) - 3))
     init_fn, g_step, d_step = make_vqgan_train_steps(
-        cfg, tcfg, lpips_params=lpips_params
+        cfg, tcfg, lpips_params=lpips_params,
+        disc_cfg=PatchGANConfig(n_layers=n_layers),
     )
+    if n_layers < 3:
+        print(f"vq_train: --size {args.size} < 64 — PatchGAN n_layers={n_layers}")
     g_opt, d_params, d_opt, ema = init_fn(params, jax.random.PRNGKey(2))
 
     rng = np.random.RandomState(args.seed)

@@ -192,9 +192,34 @@ class SJDEngine:
         with ``return_state`` + :meth:`resume` it chunks one generation
         across multiple device dispatches (streaming/serving, or backends
         with a per-execution time cap)."""
+        (prompt, prompt_mask, neg_prompt, neg_mask, gstate, prompt_embeds,
+         neg_prompt_embeds) = self._normalize_prompt_inputs(
+            prompt, prompt_mask, neg_prompt, neg_mask, gstate,
+            prompt_embeds, neg_prompt_embeds,
+        )
+        cap = self.config.resolved_nfe_cap() if max_steps is None else max_steps
+        state = self._generate(
+            params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate,
+            prompt_embeds, neg_prompt_embeds, jnp.int32(cap),
+        )
+        result = self._result_from_state(state)
+        return (result, state) if return_state else result
+
+    def _normalize_prompt_inputs(
+        self, prompt, prompt_mask, neg_prompt, neg_mask, gstate,
+        prompt_embeds, neg_prompt_embeds,
+    ):
+        """Shared generate()/refill() argument normalization: default masks,
+        grammar state, CFG negative-prompt placeholders, and the zero-width
+        embedding placeholders that keep the traced signatures static.
+        One code path so prompt semantics can never drift between the
+        initial generate and a continuous-batching refill."""
         if prompt_embeds is not None:
             B, P = prompt_embeds.shape[:2]
-            prompt = jnp.zeros((B, P), jnp.int32) if prompt is None else prompt
+            if prompt is None:
+                prompt = jnp.zeros((B, P), jnp.int32)
+            assert prompt.shape == (B, P), (
+                "prompt width must match prompt_embeds", prompt.shape, (B, P))
         else:
             B, P = prompt.shape
         if prompt_mask is None:
@@ -212,7 +237,9 @@ class SJDEngine:
                 neg_prompt = jnp.zeros((B, P), jnp.int32)
                 neg_mask = jnp.ones((B, P), bool)
             else:
-                assert neg_prompt is not None, "cfg_mode=neg_prompt requires neg_prompt"
+                assert neg_prompt is not None, (
+                    "cfg_mode=neg_prompt requires neg_prompt"
+                )
                 if neg_mask is None:
                     neg_mask = jnp.ones_like(neg_prompt, dtype=bool)
         else:
@@ -223,13 +250,8 @@ class SJDEngine:
             neg_prompt_embeds = jnp.zeros((B, 0, 0), jnp.float32)
         elif neg_prompt_embeds is None:
             neg_prompt_embeds = jnp.zeros_like(prompt_embeds)
-        cap = self.config.resolved_nfe_cap() if max_steps is None else max_steps
-        state = self._generate(
-            params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate,
-            prompt_embeds, neg_prompt_embeds, jnp.int32(cap),
-        )
-        result = self._result_from_state(state)
-        return (result, state) if return_state else result
+        return (prompt, prompt_mask, neg_prompt, neg_mask, gstate,
+                prompt_embeds, neg_prompt_embeds)
 
     def resume(self, params: PyTree, state: EngineState,
                max_steps: Optional[int] = None, return_state: bool = False):
@@ -276,38 +298,11 @@ class SJDEngine:
         like generate(). The incoming ``state`` is DONATED. nfe increases
         by 1 (the refill prefill forward).
         """
-        if prompt_embeds is not None and prompt is None:
-            B, P = prompt_embeds.shape[:2]
-            prompt = jnp.zeros((B, P), jnp.int32)
-        B, P = prompt.shape
-        if prompt_mask is None:
-            prompt_mask = jnp.ones((B, P), bool)
-        if gstate is None:
-            gstate = (
-                self.default_gstate(B) if self.default_gstate is not None
-                else grammar_lib.init_state(B)
-            )
-        if self.sampling.do_cfg and self.config.cfg_mode == "neg_prompt":
-            if prompt_embeds is not None:
-                assert neg_prompt_embeds is not None and (
-                    neg_prompt_embeds.shape == prompt_embeds.shape
-                ), "embedding refill requires same-shape neg_prompt_embeds"
-                neg_prompt = jnp.zeros((B, P), jnp.int32)
-                neg_mask = jnp.ones((B, P), bool)
-            else:
-                assert neg_prompt is not None, (
-                    "cfg_mode=neg_prompt requires neg_prompt"
-                )
-                if neg_mask is None:
-                    neg_mask = jnp.ones_like(neg_prompt, dtype=bool)
-        else:
-            neg_prompt = jnp.zeros((B, 0), jnp.int32)
-            neg_mask = jnp.zeros((B, 0), bool)
-        if prompt_embeds is None:
-            prompt_embeds = jnp.zeros((B, 0, 0), jnp.float32)
-            neg_prompt_embeds = jnp.zeros((B, 0, 0), jnp.float32)
-        elif neg_prompt_embeds is None:
-            neg_prompt_embeds = jnp.zeros_like(prompt_embeds)
+        (prompt, prompt_mask, neg_prompt, neg_mask, gstate, prompt_embeds,
+         neg_prompt_embeds) = self._normalize_prompt_inputs(
+            prompt, prompt_mask, neg_prompt, neg_mask, gstate,
+            prompt_embeds, neg_prompt_embeds,
+        )
         return self._refill(
             params, state, prompt, prompt_mask, neg_prompt, neg_mask, gstate,
             prompt_embeds, neg_prompt_embeds,

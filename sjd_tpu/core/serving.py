@@ -17,7 +17,7 @@ prompt.py); this is the TPU-serving answer to the same fan-out.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Iterable, List, Optional
+from typing import Any, Callable, List, Optional
 
 import numpy as np
 

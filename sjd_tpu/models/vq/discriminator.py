@@ -92,4 +92,12 @@ def patchgan_logits(
     for i, blk in enumerate(params["blocks"]):
         stride = 2 if i < n_blocks - 1 else 1
         x = _lrelu(_batch_norm(_conv4(x, blk["w"], stride), blk["gamma"], blk["beta"]))
-    return _conv4(x, params["final_w"], 1) + params["final_b"]
+    out = _conv4(x, params["final_w"], 1) + params["final_b"]
+    # a too-deep stack on a small image collapses the patch map to zero
+    # spatial extent; its mean is NaN and silently poisons the G loss even
+    # through the disc_start gate (0 * NaN). Fail at trace time instead.
+    assert out.shape[1] > 0 and out.shape[2] > 0, (
+        f"PatchGAN patch map is empty for input {pixels.shape} at "
+        f"n_layers={n_blocks}; reduce n_layers or use a larger image"
+    )
+    return out

@@ -180,12 +180,21 @@ def vanilla_d_loss(real_logits: jnp.ndarray, fake_logits: jnp.ndarray) -> jnp.nd
 
 
 def non_saturating_d_loss(real_logits, fake_logits) -> jnp.ndarray:
-    """BCE-with-logits D loss (vq_loss.py:28-32): real->1, fake->0.
-    (bce(x, 1) = softplus(-x), bce(x, 0) = softplus(x).)"""
-    return 0.5 * (
-        jnp.mean(jax.nn.softplus(-real_logits))
-        + jnp.mean(jax.nn.softplus(fake_logits))
-    )
+    """Reference-exact 'non-saturating' D loss (vq_loss.py:28-32).
+
+    The reference passes BCEWithLogits arguments SWAPPED — the constant
+    ones/zeros tensor is the *input* and the logits are the *target* —
+    so with bce(x, y) = max(x,0) - x*y + log1p(exp(-|x|)):
+      real term = bce(1, logits_real) = 1 - logits_real + log1p(e^-1)
+      fake term = bce(0, logits_fake) = log(2)  (constant: NO fake gradient)
+    i.e. the loss is linear in the real logits and ignores the fake ones.
+    We reproduce that behavior exactly (a user migrating a reference
+    training run gets the same gradient dynamics); the textbook
+    BCE-with-logits D loss is the 'vanilla' option (softplus form)."""
+    log1p_em1 = jnp.log1p(jnp.exp(-1.0))
+    real = jnp.mean(1.0 - real_logits + log1p_em1)
+    fake = jnp.full((), jnp.log(2.0)) + 0.0 * jnp.mean(fake_logits)
+    return 0.5 * (real + fake)
 
 
 def hinge_gen_loss(fake_logits: jnp.ndarray) -> jnp.ndarray:
@@ -193,7 +202,10 @@ def hinge_gen_loss(fake_logits: jnp.ndarray) -> jnp.ndarray:
 
 
 def non_saturating_gen_loss(fake_logits: jnp.ndarray) -> jnp.ndarray:
-    return jnp.mean(jax.nn.softplus(-fake_logits))
+    """Reference-exact (vq_loss.py:39-40, same swapped-argument form):
+    bce(1, logits_fake) = 1 - logits_fake + log1p(e^-1) — linear in the
+    logits, identical gradient to hinge_gen_loss."""
+    return jnp.mean(1.0 - fake_logits + jnp.log1p(jnp.exp(-1.0)))
 
 
 _D_LOSSES = {
