@@ -36,11 +36,16 @@ class ModelWorker(threading.Thread):
     """Single worker owning the TPU; requests are serialized through a queue
     (the reference's request/response mp.Queue pair, but in-process)."""
 
-    def __init__(self, dispatch):
+    def __init__(self, dispatch, serialize: bool = True):
         super().__init__(daemon=True)
         self.dispatch = dispatch  # dispatch(kind, request_dict) -> PIL.Image
         self.requests: queue.Queue = queue.Queue()
         self.ready = threading.Event()
+        # serialize=False (continuous-batching mode): t2i requests run on
+        # the HTTP handler threads — they only enqueue into the
+        # StreamingBatcher and block on their own handle, so concurrent
+        # clients actually share the batch; i2i/freeform still serialize.
+        self.serialize = serialize
 
     def run(self):
         self.ready.set()
@@ -54,6 +59,12 @@ class ModelWorker(threading.Thread):
                 reply.put(("error", str(e), 0.0))
 
     def generate(self, kind: str, req: dict):
+        if not self.serialize and kind == "t2i":
+            try:
+                t0 = time.time()
+                return ("ok", self.dispatch(kind, req), time.time() - t0)
+            except Exception as e:  # noqa: BLE001
+                return ("error", str(e), 0.0)
         reply: queue.Queue = queue.Queue()
         self.requests.put((kind, req, reply))
         return reply.get()
@@ -112,6 +123,13 @@ def main():
     ap.add_argument("--target-size", type=int, default=768)
     ap.add_argument("--gpt-model", default="GPT-B")
     ap.add_argument("--latent-size", type=int, default=8)
+    ap.add_argument("--slots", type=int, default=1,
+                    help="continuous-batching slots for /generate (lumina "
+                    "only; >1 serves concurrent requests through one "
+                    "StreamingBatcher — 5 is the measured v5e-1 optimum)")
+    ap.add_argument("--chunk-steps", type=int, default=192)
+    ap.add_argument("--quantize", default=None,
+                    help="w4a8 recommended for --slots > 1")
     args = ap.parse_args()
 
     from sjd_tpu.loader import load_pretrained_model
@@ -119,6 +137,10 @@ def main():
     if "lumina" in args.model:
         kwargs = dict(ckpt_dir=args.ckpt_dir, vq_ckpt=args.vq_ckpt,
                       target_size=args.target_size)
+        if args.quantize:
+            kwargs["quantize"] = (
+                args.quantize if args.quantize == "w4a8" else int(args.quantize)
+            )
     elif "llamagen" in args.model:
         kwargs = dict(gpt_ckpt=args.ckpt_dir, vq_ckpt=args.vq_ckpt,
                       name=args.gpt_model, latent_size=args.latent_size)
@@ -141,9 +163,31 @@ def main():
             out.append(Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB"))
         return out
 
+    # --slots > 1: /generate requests stream through a StreamingBatcher —
+    # concurrent clients share B engine slots with chunk-boundary admission
+    # (the single-request path pays the whole chip for one image; batched
+    # serving measured 8.8 img/min vs 5.6 at B=1 on v5e-1, PERF_NOTES.md).
+    streamer = None
+    if args.slots > 1:
+        assert "lumina" in args.model, "--slots > 1 currently serves lumina"
+        from sjd_tpu.core.serving import StreamingBatcher
+
+        prompt_ids_fn = model.extras["prompt_ids_fn"]
+        # bucket = longest practical prompt; shorter ones are left-padded
+        streamer = StreamingBatcher(
+            model.engine, model.params, batch=args.slots,
+            chunk_steps=args.chunk_steps,
+            prompt_width=max(64, len(prompt_ids_fn("x")) + 48),
+        )
+
     def dispatch(kind, req):
         seed = int(req.get("seed", 42))
         if kind == "t2i":
+            if streamer is not None:
+                ids = model.extras["prompt_ids_fn"](req.get("prompt", ""))
+                handle = streamer.submit(ids, seed=seed)
+                return model.extras["decode_image_fn"](
+                    handle.wait().tokens.tolist())
             return model.sample_fn(req.get("prompt", ""), seed)
         if kind == "i2i":
             fn = model.extras.get("sample_i2i_fn")
@@ -153,7 +197,7 @@ def main():
         assert fn is not None, f"{model.name} has no freeform path"
         return fn(req.get("qas", []), _decode_images(req), seed)
 
-    worker = ModelWorker(dispatch)
+    worker = ModelWorker(dispatch, serialize=streamer is None)
     worker.start()
     worker.ready.wait()
 

@@ -165,3 +165,255 @@ class ContinuousBatcher:
 
         done.sort(key=lambda c: c.prompt_index)
         return done
+
+
+class PendingResult:
+    """Handle returned by StreamingBatcher.submit(); wait() blocks until the
+    generation completes and returns a CompletedGeneration."""
+
+    def __init__(self, index: int):
+        import threading
+
+        self.index = index
+        self._event = threading.Event()
+        self._result: Optional[CompletedGeneration] = None
+        self._error: Optional[BaseException] = None
+
+    def _resolve(self, result: CompletedGeneration) -> None:
+        self._result = result
+        self._event.set()
+
+    def _fail(self, err: BaseException) -> None:
+        self._error = err
+        self._event.set()
+
+    def done(self) -> bool:
+        return self._event.is_set()
+
+    def wait(self, timeout: Optional[float] = None) -> CompletedGeneration:
+        if not self._event.wait(timeout):
+            raise TimeoutError("generation not finished")
+        if self._error is not None:
+            raise self._error
+        assert self._result is not None
+        return self._result
+
+
+class StreamingBatcher:
+    """Online continuous batching for serving: ``submit()`` prompts at any
+    time from any thread; a background drive loop keeps B engine slots busy,
+    admitting new requests at chunk boundaries via SJDEngine.refill and
+    resolving finished slots' futures.
+
+    Unlike :class:`ContinuousBatcher` (a fixed prompt list), arrival order
+    interleaves with the decode loop, so trajectories are NOT bit-reproducible
+    across runs — each request gets its own rng derived from the submitted
+    seed, but slot/refill timing depends on load.
+
+    Idle slots (fewer live requests than B) carry a copy of the first
+    prompt whose output is discarded; a mid-flight refill re-arms them the
+    moment a request arrives (the engine does not require a slot to be
+    finished to refill it — tests/test_continuous_batching.py).
+
+    ``prompt_width`` is the fixed token bucket: shorter prompts are
+    left-padded (mask False), longer ones rejected. ``make_gstate(metas)``
+    (optional) builds per-slot grammar state from each request's ``meta``
+    dict (None for idle slots) — the Emu3 seam.
+    """
+
+    def __init__(
+        self,
+        engine,
+        params: PyTree,
+        *,
+        batch: int = 4,
+        chunk_steps: int = 128,
+        prompt_width: int,
+        neg_width: int = 0,
+        make_gstate: Optional[Callable[[List[Optional[dict]]], Any]] = None,
+        row_sharding: Any = None,
+    ):
+        import threading
+
+        self.engine = engine
+        self.params = params
+        self.B = batch
+        self.chunk_steps = chunk_steps
+        self.P = prompt_width
+        self.neg_width = neg_width
+        self.make_gstate = make_gstate
+        self.row_sharding = row_sharding
+
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._pending: List[tuple] = []  # (PendingResult, ids, neg, seed, meta)
+        self._count = 0
+        self._closed = False
+        self._thread = threading.Thread(target=self._drive, daemon=True)
+        self._thread.start()
+
+    # -- client side -------------------------------------------------------
+
+    def submit(
+        self,
+        prompt_ids,  # sequence of int
+        neg_prompt_ids=None,
+        seed: int = 0,
+        meta: Optional[dict] = None,
+    ) -> PendingResult:
+        ids = list(map(int, prompt_ids))
+        assert len(ids) <= self.P, (
+            f"prompt length {len(ids)} exceeds the bucket ({self.P})")
+        neg = list(map(int, neg_prompt_ids)) if neg_prompt_ids is not None else None
+        if self.neg_width:
+            assert neg is not None and len(neg) <= self.neg_width
+        with self._lock:
+            assert not self._closed, "batcher closed"
+            handle = PendingResult(self._count)
+            self._count += 1
+            self._pending.append((handle, ids, neg, seed, meta))
+            self._wake.notify()
+        return handle
+
+    def close(self) -> None:
+        with self._lock:
+            self._closed = True
+            self._wake.notify()
+        self._thread.join(timeout=30)
+
+    # -- drive loop --------------------------------------------------------
+
+    def _pad_row(self, ids: List[int], width: int):
+        pad = width - len(ids)
+        return [0] * pad + ids, [False] * pad + [True] * len(ids)
+
+    def _drive(self) -> None:
+        import jax
+
+        eng = self.engine
+        B, P = self.B, self.P
+        neg_prompt_mode = self.neg_width > 0
+        occupants: List[Optional[PendingResult]] = [None] * B
+        state = None
+
+        def take_pending(n):
+            out = []
+            while self._pending and len(out) < n:
+                out.append(self._pending.pop(0))
+            return out
+
+        def rows_for(reqs, fill_ids, fill_neg):
+            """Build [B]-row arrays: reqs is {slot: (handle, ids, neg, seed, meta)}."""
+            ids_rows, mask_rows, neg_rows, negm_rows, metas, seeds = (
+                [], [], [], [], [], [])
+            for b in range(B):
+                req = reqs.get(b)
+                ids = req[1] if req else fill_ids
+                neg = (req[2] if req else fill_neg) or []
+                r, m = self._pad_row(ids, P)
+                ids_rows.append(r)
+                mask_rows.append(m)
+                if neg_prompt_mode:
+                    r2, m2 = self._pad_row(neg, self.neg_width)
+                    neg_rows.append(r2)
+                    negm_rows.append(m2)
+                metas.append(req[4] if req else None)
+                seeds.append(req[3] if req else 0)
+            put = (lambda a: jax.device_put(a, self.row_sharding)) \
+                if self.row_sharding is not None else (lambda a: a)
+            ids_arr = put(jnp.asarray(ids_rows, jnp.int32))
+            mask_arr = put(jnp.asarray(mask_rows, bool))
+            neg_arr = put(jnp.asarray(neg_rows, jnp.int32)) if neg_prompt_mode else None
+            negm_arr = put(jnp.asarray(negm_rows, bool)) if neg_prompt_mode else None
+            g = self.make_gstate(metas) if self.make_gstate else None
+            return ids_arr, mask_arr, neg_arr, negm_arr, g, seeds
+
+        while True:
+            with self._lock:
+                while not self._pending and not self._closed and state is None:
+                    self._wake.wait()
+                if self._closed and not self._pending and all(
+                    o is None for o in occupants
+                ):
+                    return
+                new = take_pending(
+                    B if state is None
+                    else sum(o is None for o in occupants)
+                )
+            try:
+                if state is None:
+                    if not new:
+                        continue
+                    reqs = {b: r for b, r in enumerate(new)}
+                    for b, r in reqs.items():
+                        occupants[b] = r[0]
+                    fill = new[0]
+                    ids, mask, neg, negm, g, seeds = rows_for(
+                        reqs, fill[1], fill[2])
+                    rng = jax.random.fold_in(
+                        jax.random.PRNGKey(seeds[0]), 0)
+                    _, state = eng.generate(
+                        self.params, rng, ids, prompt_mask=mask,
+                        neg_prompt=neg, neg_mask=negm, gstate=g,
+                        max_steps=self.chunk_steps, return_state=True,
+                    )
+                    # remember request rows for refill padding
+                    self._last = (fill[1], fill[2])
+                    continue
+
+                # chunk boundary: harvest finished occupied slots
+                finished = np.asarray(state.finished)
+                lengths = None
+                for b in range(B):
+                    h = occupants[b]
+                    if h is not None and finished[b]:
+                        if lengths is None:
+                            lengths = np.asarray(state.length)
+                        row = np.asarray(state.tokens[b, : int(lengths[b])])
+                        h._resolve(CompletedGeneration(
+                            prompt_index=h.index, tokens=row.copy(),
+                            gen_count=int(lengths[b]) - int(state.prompt_rows),
+                        ))
+                        occupants[b] = None
+
+                # slots freed by the harvest can admit requests THIS chunk
+                free = sum(o is None for o in occupants) - len(new)
+                if free > 0:
+                    with self._lock:
+                        new += take_pending(free)
+
+                # admit new requests into free slots (mid-flight for idles)
+                if new:
+                    reqs = {}
+                    for r in new:
+                        b = occupants.index(None)
+                        occupants[b] = r[0]
+                        reqs[b] = r
+                    ids, mask, neg, negm, g, _ = rows_for(
+                        reqs, self._last[0], self._last[1])
+                    refill_mask = np.zeros((B,), bool)
+                    for b in reqs:
+                        refill_mask[b] = True
+                    state = eng.refill(
+                        self.params, state, ids, refill_mask,
+                        prompt_mask=mask, neg_prompt=neg, neg_mask=negm,
+                        gstate=g,
+                    )
+
+                if all(o is None for o in occupants):
+                    state = None  # park: queue drained
+                    continue
+                _, state = eng.resume(
+                    self.params, state, max_steps=self.chunk_steps,
+                    return_state=True,
+                )
+            except BaseException as e:  # noqa: BLE001 — fail live handles
+                for b in range(B):
+                    if occupants[b] is not None:
+                        occupants[b]._fail(e)
+                        occupants[b] = None
+                with self._lock:
+                    for h, *_ in self._pending:
+                        h._fail(e)
+                    self._pending.clear()
+                state = None

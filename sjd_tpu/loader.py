@@ -261,16 +261,22 @@ def load_lumina_mgpt(
         )
         return res.tokens[0, : int(res.length[0])].tolist()
 
-    def sample_fn(prompt: str, rng_seed: Optional[int] = None):
+    def prompt_ids_fn(prompt: str):
+        """Text -> full t2i prompt ids (incl. the image-start/size header) —
+        the serving seam for StreamingBatcher (examples/demo_server.py)."""
         if item_proc:
-            ids = item_proc.t2i_prompt_ids(prompt, target_size)
-        else:
-            # tokenizer-free fallback: hash the prompt into placeholder text
-            # ids; the image structure is fully exercised either way
-            h = abs(hash(prompt))
-            ids = [(h >> (4 * i)) % 4000 + 9000 for i in range(12)]
-        ids = ids + [IMAGE_START_ID, size_token_id(target_size), size_token_id(target_size)]
-        return _decode_last_image(_generate_from_ids(ids, rng_seed))
+            return item_proc.t2i_prompt_ids(prompt, target_size) + [
+                IMAGE_START_ID, size_token_id(target_size),
+                size_token_id(target_size),
+            ]
+        h = abs(hash(prompt))
+        ids = [(h >> (4 * i)) % 4000 + 9000 for i in range(12)]
+        return ids + [IMAGE_START_ID, size_token_id(target_size),
+                      size_token_id(target_size)]
+
+    def sample_fn(prompt: str, rng_seed: Optional[int] = None):
+        return _decode_last_image(
+            _generate_from_ids(prompt_ids_fn(prompt), rng_seed))
 
     def sample_freeform_fn(qas, images=(), rng_seed: Optional[int] = None):
         """Multi-turn conversation generation (demo_freeform.py): qas is a
@@ -299,7 +305,11 @@ def load_lumina_mgpt(
             {"vq_params": vq_params, "vq_cfg": vq_cfg, "nfe": None,
              "mapping": mapping, "item_processor": item_proc,
              "sample_i2i_fn": sample_i2i_fn,
-             "sample_freeform_fn": sample_freeform_fn},
+             "sample_freeform_fn": sample_freeform_fn,
+             # serving seams (StreamingBatcher in examples/demo_server.py):
+             # text -> prompt ids, and generated token row -> PIL image
+             "prompt_ids_fn": prompt_ids_fn,
+             "decode_image_fn": _decode_last_image},
             "lumina_mgpt", smoke),
     )
 

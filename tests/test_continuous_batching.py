@@ -330,3 +330,66 @@ def test_continuous_batcher_neg_prompt_stream():
             assert toks[i + side] == 50
             i += side + 1
         assert toks[i] == 49
+
+
+def test_streaming_batcher_online_submissions():
+    """StreamingBatcher (the demo_server --slots path): requests submitted
+    over time from other threads share 2 engine slots; every request
+    completes with a valid grid for its own size token, including ones
+    that arrive while the batch is mid-flight (admitted by mid-flight
+    refill of idle slots or chunk-boundary refill of finished ones)."""
+    import threading
+    import time as _time
+
+    from sjd_tpu.core.serving import StreamingBatcher
+
+    params = tiny_params()
+    eng = grammar_engine()
+    sb = StreamingBatcher(eng, params, batch=2, chunk_steps=8,
+                          prompt_width=5)
+
+    sizes = [53, 54, 53, 53, 54]
+    handles = [sb.submit(grid_prompt(sizes[0]), seed=0)]
+
+    def late_submitter():
+        for s in sizes[1:]:
+            _time.sleep(0.3)
+            handles.append(sb.submit(grid_prompt(s), seed=1))
+
+    t = threading.Thread(target=late_submitter)
+    t.start()
+    t.join()
+    results = [h.wait(timeout=120) for h in handles]
+    sb.close()
+
+    for res, size_tok in zip(results, sizes):
+        toks = res.tokens[5:]
+        side = (size_tok - 52) * 2
+        i = 0
+        for _ in range(side):
+            assert all(4 <= t <= 47 for t in toks[i : i + side]), toks
+            assert toks[i + side] == 50
+            i += side + 1
+        assert toks[i] == 49
+        assert res.gen_count == len(toks)
+
+
+def test_streaming_batcher_short_prompt_padding():
+    """A prompt shorter than the bucket is left-padded with mask=False and
+    still produces a valid grid."""
+    from sjd_tpu.core.serving import StreamingBatcher
+
+    params = tiny_params()
+    eng = grammar_engine()
+    sb = StreamingBatcher(eng, params, batch=2, chunk_steps=8,
+                          prompt_width=9)
+    h = sb.submit(grid_prompt(53), seed=0)
+    res = h.wait(timeout=120)
+    sb.close()
+    toks = res.tokens[9:]  # bucket-width prompt rows
+    i = 0
+    for _ in range(2):
+        assert all(4 <= t <= 47 for t in toks[i : i + 2]), toks
+        assert toks[i + 2] == 50
+        i += 3
+    assert toks[i] == 49
