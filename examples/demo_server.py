@@ -141,6 +141,12 @@ def main():
             kwargs["quantize"] = (
                 args.quantize if args.quantize == "w4a8" else int(args.quantize)
             )
+        if args.slots > 1:
+            # bf16 VQ decode: the 768px fp32 decoder transients (~1 GB)
+            # OOM next to a full slot batch (HBM budget in PERF_NOTES.md)
+            import jax.numpy as jnp
+
+            kwargs["vq_dtype"] = jnp.bfloat16
     elif "llamagen" in args.model:
         kwargs = dict(gpt_ckpt=args.ckpt_dir, vq_ckpt=args.vq_ckpt,
                       name=args.gpt_model, latent_size=args.latent_size)

@@ -193,6 +193,9 @@ def load_lumina_mgpt(
     seed: int = 42,
     tokenizer=None,
     quantize: bool = False,
+    vq_dtype=None,  # e.g. jnp.bfloat16: halves VQ-decode activation HBM —
+    # the batched-serving setting (demo_server --slots > 1), where the
+    # decoder's 768px fp32 transients (~1 GB) OOM next to a full slot batch
 ) -> LoadedModel:
     from sjd_tpu.data.item_processor import FlexARItemProcessor, size_token_id
     from sjd_tpu.data.vocab_translation import (
@@ -216,6 +219,10 @@ def load_lumina_mgpt(
     params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
 
     vq_cfg = CHAMELEON_VQ
+    if vq_dtype is not None:
+        import dataclasses as _dc
+
+        vq_cfg = _dc.replace(vq_cfg, dtype=vq_dtype)
     if vq_ckpt:
         from sjd_tpu.utils.port import load_torch_checkpoint
 
