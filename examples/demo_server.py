@@ -128,6 +128,8 @@ def main():
                     "only; >1 serves concurrent requests through one "
                     "StreamingBatcher — 5 is the measured v5e-1 optimum)")
     ap.add_argument("--chunk-steps", type=int, default=192)
+    ap.add_argument("--emu3-grid", type=int, default=90,
+                    help="Emu3 latent grid side (90 = 720px)")
     ap.add_argument("--quantize", default=None,
                     help="w4a8 recommended for --slots > 1")
     args = ap.parse_args()
@@ -151,7 +153,12 @@ def main():
         kwargs = dict(gpt_ckpt=args.ckpt_dir, vq_ckpt=args.vq_ckpt,
                       name=args.gpt_model, latent_size=args.latent_size)
     elif "emu3" in args.model:
-        kwargs = dict(ckpt_dir=args.ckpt_dir, vq_ckpt_dir=args.vq_ckpt)
+        kwargs = dict(ckpt_dir=args.ckpt_dir, vq_ckpt_dir=args.vq_ckpt,
+                      h=args.emu3_grid, w=args.emu3_grid)
+        if args.slots > 1:
+            import jax.numpy as jnp
+
+            kwargs["vq_dtype"] = jnp.bfloat16
     else:  # anole
         kwargs = dict(ckpt_dir=args.ckpt_dir, vq_ckpt=args.vq_ckpt)
     model = load_pretrained_model(args.model, **kwargs)
@@ -174,16 +181,24 @@ def main():
     # (the single-request path pays the whole chip for one image; batched
     # serving measured 8.8 img/min vs 5.6 at B=1 on v5e-1, PERF_NOTES.md).
     streamer = None
+    neg_ids = None
     if args.slots > 1:
-        assert "lumina" in args.model, "--slots > 1 currently serves lumina"
+        assert "lumina" in args.model or "emu3" in args.model, (
+            "--slots > 1 currently serves lumina / emu3")
         from sjd_tpu.core.serving import StreamingBatcher
 
         prompt_ids_fn = model.extras["prompt_ids_fn"]
+        if "emu3" in args.model:
+            # Emu3 CFG needs the separate full negative generation prompt
+            # per slot (cfg_mode=neg_prompt); 2 slots are the 16 GB ceiling
+            neg_ids = model.extras["neg_ids_fn"]()
         # bucket = longest practical prompt; shorter ones are left-padded
         streamer = StreamingBatcher(
             model.engine, model.params, batch=args.slots,
             chunk_steps=args.chunk_steps,
             prompt_width=max(64, len(prompt_ids_fn("x")) + 48),
+            neg_width=len(neg_ids) + 48 if neg_ids is not None else 0,
+            make_gstate=model.extras.get("make_gstate"),
         )
 
     def dispatch(kind, req):
@@ -191,7 +206,8 @@ def main():
         if kind == "t2i":
             if streamer is not None:
                 ids = model.extras["prompt_ids_fn"](req.get("prompt", ""))
-                handle = streamer.submit(ids, seed=seed)
+                handle = streamer.submit(ids, neg_prompt_ids=neg_ids,
+                                         seed=seed)
                 return model.extras["decode_image_fn"](
                     handle.wait().tokens.tolist())
             return model.sample_fn(req.get("prompt", ""), seed)

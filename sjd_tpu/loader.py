@@ -338,6 +338,7 @@ def load_emu3(
     negative_prompt: Optional[str] = None,
     positive_suffix: Optional[str] = None,
     quantize: bool = True,  # the 8B only fits one 16GB chip with int8 weights
+    vq_dtype=None,  # e.g. jnp.bfloat16 for batched serving (halves VQ HBM)
 ) -> LoadedModel:
     from sjd_tpu.data.emu3_processor import build_gen_prompt, extract_image_grid
     from sjd_tpu.models.emu3 import emu3_engine, emu3_grammar_state
@@ -367,6 +368,10 @@ def load_emu3(
     )
     params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
     vq_cfg = EMU3_VQ
+    if vq_dtype is not None:
+        import dataclasses as _dc
+
+        vq_cfg = _dc.replace(vq_cfg, dtype=vq_dtype)
     if vq_ckpt_dir:
         vq_params = port_emu3_vq(_load_sharded_state(vq_ckpt_dir), vq_cfg)
     else:
@@ -376,43 +381,63 @@ def load_emu3(
         from sjd_tpu.models.vq.emu3_port import init_emu3_vq_params
 
         vq_params = init_emu3_vq_params(1, vq_cfg)
+    if vq_dtype is not None:
+        # the port/fallback builders emit fp32 leaves; the conv path
+        # requires weights in cfg.dtype
+        vq_params = jax.tree.map(
+            lambda a: a.astype(vq_dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            vq_params,
+        )
 
     if positive_suffix is None:
         positive_suffix = DEFAULT_POSITIVE_SUFFIX
     if negative_prompt is None:
         negative_prompt = DEFAULT_NEGATIVE_PROMPT
 
-    def sample_fn(prompt: str, rng_seed: int = 42):
+    def prompt_ids_fn(prompt: str):
+        """Text -> full generation prompt ids (bos + text + boi + "{H}*{W}"
+        header + img marker) — the serving seam for StreamingBatcher."""
         if tokenizer is not None:
             # the reference's quality setup (test_emu3.py:56-79): positive
             # suffix appended; the negative prompt is a FULL generation
             # prompt with its own boi + "{H}*{W}" header
             text_ids = list(tokenizer.encode(prompt + positive_suffix))
             tok = lambda s: list(tokenizer.encode(s))  # noqa: E731
-            neg_text_ids = list(tokenizer.encode(negative_prompt))
         else:
             hsh = abs(hash(prompt))
             text_ids = [(hsh >> (4 * i)) % 1000 + 1000 for i in range(12)]
             tok = lambda s: [1500]  # noqa: E731
+        return build_gen_prompt(text_ids, h, w, tok)
+
+    def neg_ids_fn():
+        if negative_prompt_ids is not None:
+            return list(negative_prompt_ids)
+        if tokenizer is not None:
+            neg_text_ids = list(tokenizer.encode(negative_prompt))
+            tok = lambda s: list(tokenizer.encode(s))  # noqa: E731
+        else:
             nh = abs(hash(negative_prompt))
             neg_text_ids = [(nh >> (4 * i)) % 1000 + 1000 for i in range(8)]
-        ids = build_gen_prompt(text_ids, h, w, tok)
-        neg = (
-            list(negative_prompt_ids)
-            if negative_prompt_ids is not None
-            else build_gen_prompt(neg_text_ids, h, w, tok)
-        )
+            tok = lambda s: [1500]  # noqa: E731
+        return build_gen_prompt(neg_text_ids, h, w, tok)
+
+    def decode_image_fn(toks):
+        """Generated token row (prompt + generation) -> PIL image."""
+        grid = extract_image_grid(toks)
+        pixels = emu3_decode(vq_params, vq_cfg, jnp.asarray(grid[None]))
+        return _to_pil(np.asarray(pixels[0]))
+
+    def sample_fn(prompt: str, rng_seed: int = 42):
+        ids = prompt_ids_fn(prompt)
         res = eng.generate(
             params,
             jax.random.PRNGKey(rng_seed),
             jnp.asarray([ids], jnp.int32),
-            neg_prompt=jnp.asarray([neg], jnp.int32),
+            neg_prompt=jnp.asarray([neg_ids_fn()], jnp.int32),
             gstate=emu3_grammar_state(1, h, w),
         )
-        toks = res.tokens[0, : int(res.length[0])].tolist()
-        grid = extract_image_grid(toks)
-        pixels = emu3_decode(vq_params, vq_cfg, jnp.asarray(grid[None]))
-        return _to_pil(np.asarray(pixels[0]))
+        return decode_image_fn(res.tokens[0, : int(res.length[0])].tolist())
 
     # Understanding engine (mode='U'), built lazily ONCE: the prompt is
     # left-padded to a fixed bucket so every question reuses one compiled
@@ -492,12 +517,20 @@ def load_emu3(
         smoke.append("random VisionVQ (no vq_ckpt_dir)")
     if tokenizer is None:
         smoke.append("placeholder prompt ids (no tokenizer)")
+    def make_gstate(metas):
+        """Per-slot grammar state for StreamingBatcher (all slots share this
+        loader's h x w grid)."""
+        return emu3_grammar_state(len(metas), h, w)
+
     return LoadedModel(
         name="emu3", engine=eng, params=params, sample_fn=sample_fn,
         extras=_mark_smoke(
             {"vq_params": vq_params, "vq_cfg": vq_cfg,
              "tokenizer": tokenizer, "negative_prompt": negative_prompt,
-             "understand_fn": understand_fn},
+             "understand_fn": understand_fn,
+             # serving seams (StreamingBatcher in examples/demo_server.py)
+             "prompt_ids_fn": prompt_ids_fn, "neg_ids_fn": neg_ids_fn,
+             "decode_image_fn": decode_image_fn, "make_gstate": make_gstate},
             "emu3", smoke),
     )
 
