@@ -182,32 +182,53 @@ def main():
     # serving measured 8.8 img/min vs 5.6 at B=1 on v5e-1, PERF_NOTES.md).
     streamer = None
     neg_ids = None
+    embed_mode = False
     if args.slots > 1:
-        assert "lumina" in args.model or "emu3" in args.model, (
-            "--slots > 1 currently serves lumina / emu3")
         from sjd_tpu.core.serving import StreamingBatcher
 
-        prompt_ids_fn = model.extras["prompt_ids_fn"]
-        if "emu3" in args.model:
-            # Emu3 CFG needs the separate full negative generation prompt
-            # per slot (cfg_mode=neg_prompt); 2 slots are the 16 GB ceiling
-            neg_ids = model.extras["neg_ids_fn"]()
-        # bucket = longest practical prompt; shorter ones are left-padded
-        streamer = StreamingBatcher(
-            model.engine, model.params, batch=args.slots,
-            chunk_steps=args.chunk_steps,
-            prompt_width=max(64, len(prompt_ids_fn("x")) + 48),
-            neg_width=len(neg_ids) + 48 if neg_ids is not None else 0,
-            make_gstate=model.extras.get("make_gstate"),
-        )
+        if "llamagen" in args.model:
+            # embedding-conditioned family: slots share the batch through
+            # the embed-mode batcher (class/caption embeds per request)
+            embed_mode = True
+            streamer = StreamingBatcher(
+                model.engine, model.params, batch=args.slots,
+                chunk_steps=args.chunk_steps,
+                prompt_width=model.extras["prompt_width"],
+                embed_dim=model.extras["embed_dim"],
+            )
+        else:
+            assert "lumina" in args.model or "emu3" in args.model, (
+                "--slots > 1 serves lumina / emu3 / llamagen")
+            prompt_ids_fn = model.extras["prompt_ids_fn"]
+            if "emu3" in args.model:
+                # Emu3 CFG needs the separate full negative generation
+                # prompt per slot (cfg_mode=neg_prompt); 2 slots are the
+                # 16 GB ceiling
+                neg_ids = model.extras["neg_ids_fn"]()
+            # bucket = longest practical prompt; shorter are left-padded
+            streamer = StreamingBatcher(
+                model.engine, model.params, batch=args.slots,
+                chunk_steps=args.chunk_steps,
+                prompt_width=max(64, len(prompt_ids_fn("x")) + 48),
+                neg_width=len(neg_ids) + 48 if neg_ids is not None else 0,
+                make_gstate=model.extras.get("make_gstate"),
+            )
 
     def dispatch(kind, req):
         seed = int(req.get("seed", 42))
         if kind == "t2i":
             if streamer is not None:
-                ids = model.extras["prompt_ids_fn"](req.get("prompt", ""))
-                handle = streamer.submit(ids, neg_prompt_ids=neg_ids,
-                                         seed=seed)
+                if embed_mode:
+                    pe, ne, pm = model.extras["embed_prompt_fn"](
+                        req.get("prompt", ""))
+                    handle = streamer.submit(
+                        prompt_embeds=pe[0], neg_prompt_embeds=ne[0],
+                        prompt_mask=pm[0] if pm is not None else None,
+                        seed=seed)
+                else:
+                    ids = model.extras["prompt_ids_fn"](req.get("prompt", ""))
+                    handle = streamer.submit(ids, neg_prompt_ids=neg_ids,
+                                             seed=seed)
                 return model.extras["decode_image_fn"](
                     handle.wait().tokens.tolist())
             return model.sample_fn(req.get("prompt", ""), seed)

@@ -230,6 +230,8 @@ class StreamingBatcher:
         chunk_steps: int = 128,
         prompt_width: int,
         neg_width: int = 0,
+        embed_dim: int = 0,  # >0: EMBEDDING prompts (LlamaGen c2i/t2i) —
+        # submit() takes prompt_embeds [P, embed_dim] instead of token ids
         make_gstate: Optional[Callable[[List[Optional[dict]]], Any]] = None,
         row_sharding: Any = None,
     ):
@@ -241,6 +243,7 @@ class StreamingBatcher:
         self.chunk_steps = chunk_steps
         self.P = prompt_width
         self.neg_width = neg_width
+        self.embed_dim = embed_dim
         self.make_gstate = make_gstate
         self.row_sharding = row_sharding
 
@@ -256,22 +259,42 @@ class StreamingBatcher:
 
     def submit(
         self,
-        prompt_ids,  # sequence of int
+        prompt_ids=None,  # sequence of int (token mode)
         neg_prompt_ids=None,
         seed: int = 0,
         meta: Optional[dict] = None,
+        prompt_embeds=None,  # [P', embed_dim] array (embedding mode) —
+        # P' <= prompt_width, left-padded with zero rows + mask False
+        neg_prompt_embeds=None,  # [P', embed_dim], required with embeds
+        prompt_mask=None,  # [P'] bool (e.g. T5 emb_mask); default all-True
     ) -> PendingResult:
-        ids = list(map(int, prompt_ids))
-        assert len(ids) <= self.P, (
-            f"prompt length {len(ids)} exceeds the bucket ({self.P})")
-        neg = list(map(int, neg_prompt_ids)) if neg_prompt_ids is not None else None
-        if self.neg_width:
-            assert neg is not None and len(neg) <= self.neg_width
+        if self.embed_dim:
+            assert prompt_embeds is not None and prompt_ids is None, (
+                "embedding-mode batcher: pass prompt_embeds")
+            pe = jnp.asarray(prompt_embeds)  # jnp: bf16 has no numpy dtype
+            assert pe.ndim == 2 and pe.shape[1] == self.embed_dim and (
+                pe.shape[0] <= self.P
+            ), (pe.shape, self.P, self.embed_dim)
+            ne = jnp.asarray(neg_prompt_embeds)
+            assert ne.shape == pe.shape, "neg_prompt_embeds must match"
+            pm = (np.ones((pe.shape[0],), bool) if prompt_mask is None
+                  else np.asarray(prompt_mask, bool))
+            payload = (pe, ne, pm)
+            neg = None
+        else:
+            ids = list(map(int, prompt_ids))
+            assert len(ids) <= self.P, (
+                f"prompt length {len(ids)} exceeds the bucket ({self.P})")
+            neg = (list(map(int, neg_prompt_ids))
+                   if neg_prompt_ids is not None else None)
+            if self.neg_width:
+                assert neg is not None and len(neg) <= self.neg_width
+            payload = ids
         with self._lock:
             assert not self._closed, "batcher closed"
             handle = PendingResult(self._count)
             self._count += 1
-            self._pending.append((handle, ids, neg, seed, meta))
+            self._pending.append((handle, payload, neg, seed, meta))
             self._wake.notify()
         return handle
 
@@ -302,13 +325,34 @@ class StreamingBatcher:
                 out.append(self._pending.pop(0))
             return out
 
-        def rows_for(reqs, fill_ids, fill_neg):
-            """Build [B]-row arrays: reqs is {slot: (handle, ids, neg, seed, meta)}."""
-            ids_rows, mask_rows, neg_rows, negm_rows, metas, seeds = (
-                [], [], [], [], [], [])
+        def rows_for(reqs, fill_payload, fill_neg):
+            """Build [B]-row engine kwargs; reqs is
+            {slot: (handle, payload, neg, seed, meta)}."""
+            put = (lambda a: jax.device_put(a, self.row_sharding)) \
+                if self.row_sharding is not None else (lambda a: a)
+            metas = [reqs[b][4] if b in reqs else None for b in range(B)]
+            seeds = [reqs[b][3] if b in reqs else 0 for b in range(B)]
+            g = self.make_gstate(metas) if self.make_gstate else None
+            if self.embed_dim:
+                pe_rows, ne_rows, mask_rows = [], [], []
+                for b in range(B):
+                    pe, ne, pm = reqs[b][1] if b in reqs else fill_payload
+                    pad = P - pe.shape[0]
+                    z = jnp.zeros((pad, self.embed_dim), pe.dtype)
+                    pe_rows.append(jnp.concatenate([z, pe], 0))
+                    ne_rows.append(jnp.concatenate([z, ne], 0))
+                    mask_rows.append(
+                        np.concatenate([np.zeros((pad,), bool), pm]))
+                kw = dict(
+                    prompt_embeds=put(jnp.stack(pe_rows)),
+                    neg_prompt_embeds=put(jnp.stack(ne_rows)),
+                    prompt_mask=put(jnp.asarray(np.stack(mask_rows))),
+                )
+                return kw, g, seeds
+            ids_rows, mask_rows, neg_rows, negm_rows = [], [], [], []
             for b in range(B):
                 req = reqs.get(b)
-                ids = req[1] if req else fill_ids
+                ids = req[1] if req else fill_payload
                 neg = (req[2] if req else fill_neg) or []
                 r, m = self._pad_row(ids, P)
                 ids_rows.append(r)
@@ -317,16 +361,14 @@ class StreamingBatcher:
                     r2, m2 = self._pad_row(neg, self.neg_width)
                     neg_rows.append(r2)
                     negm_rows.append(m2)
-                metas.append(req[4] if req else None)
-                seeds.append(req[3] if req else 0)
-            put = (lambda a: jax.device_put(a, self.row_sharding)) \
-                if self.row_sharding is not None else (lambda a: a)
-            ids_arr = put(jnp.asarray(ids_rows, jnp.int32))
-            mask_arr = put(jnp.asarray(mask_rows, bool))
-            neg_arr = put(jnp.asarray(neg_rows, jnp.int32)) if neg_prompt_mode else None
-            negm_arr = put(jnp.asarray(negm_rows, bool)) if neg_prompt_mode else None
-            g = self.make_gstate(metas) if self.make_gstate else None
-            return ids_arr, mask_arr, neg_arr, negm_arr, g, seeds
+            kw = dict(
+                prompt=put(jnp.asarray(ids_rows, jnp.int32)),
+                prompt_mask=put(jnp.asarray(mask_rows, bool)),
+            )
+            if neg_prompt_mode:
+                kw["neg_prompt"] = put(jnp.asarray(neg_rows, jnp.int32))
+                kw["neg_mask"] = put(jnp.asarray(negm_rows, bool))
+            return kw, g, seeds
 
         while True:
             with self._lock:
@@ -348,14 +390,13 @@ class StreamingBatcher:
                     for b, r in reqs.items():
                         occupants[b] = r[0]
                     fill = new[0]
-                    ids, mask, neg, negm, g, seeds = rows_for(
-                        reqs, fill[1], fill[2])
+                    kw, g, seeds = rows_for(reqs, fill[1], fill[2])
                     rng = jax.random.fold_in(
                         jax.random.PRNGKey(seeds[0]), 0)
                     _, state = eng.generate(
-                        self.params, rng, ids, prompt_mask=mask,
-                        neg_prompt=neg, neg_mask=negm, gstate=g,
+                        self.params, rng, gstate=g,
                         max_steps=self.chunk_steps, return_state=True,
+                        **kw,
                     )
                     # remember request rows for refill padding
                     self._last = (fill[1], fill[2])
@@ -389,15 +430,13 @@ class StreamingBatcher:
                         b = occupants.index(None)
                         occupants[b] = r[0]
                         reqs[b] = r
-                    ids, mask, neg, negm, g, _ = rows_for(
-                        reqs, self._last[0], self._last[1])
+                    kw, g, _ = rows_for(reqs, self._last[0], self._last[1])
                     refill_mask = np.zeros((B,), bool)
                     for b in reqs:
                         refill_mask[b] = True
                     state = eng.refill(
-                        self.params, state, ids, refill_mask,
-                        prompt_mask=mask, neg_prompt=neg, neg_mask=negm,
-                        gstate=g,
+                        self.params, state, kw.pop("prompt", None),
+                        refill_mask, gstate=g, **kw,
                     )
 
                 if all(o is None for o in occupants):

@@ -597,7 +597,10 @@ def load_llamagen(
 
     dtype = eng.model_cfg.dtype
 
-    def sample_fn(prompt, rng_seed: int = 42):
+    def embed_prompt_fn(prompt):
+        """Prompt (class label for c2i, caption for t2i) -> per-request
+        (prompt_embeds [P, D], neg_prompt_embeds [P, D], prompt_mask [P] or
+        None) — the serving seam for StreamingBatcher(embed_dim=...)."""
         B = 1
         if model_type == "c2i":
             label = int(prompt)
@@ -613,14 +616,24 @@ def load_llamagen(
             # masked (the reference passes emb_masks; attending them with
             # softmax weight exp(0) dilutes the real caption conditioning)
             pmask = jnp.asarray(emb_mask, bool)
+        return pe, ne, pmask
+
+    def decode_image_fn(toks):
+        """Generated token row -> PIL image (VQ decode of the image block)."""
+        ids = jnp.asarray(toks, jnp.int32)[None,
+                                           cls_token_num : cls_token_num
+                                           + latent_size * latent_size]
+        pixels = vq_decode(vq_params, vq_cfg, ids, (latent_size, latent_size))
+        return _to_pil(np.asarray(pixels[0]))
+
+    def sample_fn(prompt, rng_seed: int = 42):
+        pe, ne, pmask = embed_prompt_fn(prompt)
         res = eng.generate(
             params, jax.random.PRNGKey(rng_seed),
             prompt_embeds=pe, neg_prompt_embeds=ne, prompt_mask=pmask,
         )
-        block = latent_size * latent_size
-        ids = res.tokens[:, cls_token_num : cls_token_num + block]
-        pixels = vq_decode(vq_params, vq_cfg, ids, (latent_size, latent_size))
-        return _to_pil(np.asarray(pixels[0]))
+        return decode_image_fn(
+            res.tokens[0, : int(res.length[0])].tolist())
 
     smoke = []
     if not gpt_ckpt:
@@ -632,7 +645,13 @@ def load_llamagen(
     return LoadedModel(
         name=f"llamagen-{name}", engine=eng, params=params, sample_fn=sample_fn,
         extras=_mark_smoke(
-            {"vq_params": vq_params, "vq_cfg": vq_cfg, "cond": cond, "t5": t5},
+            {"vq_params": vq_params, "vq_cfg": vq_cfg, "cond": cond, "t5": t5,
+             # serving seams (StreamingBatcher embed mode, demo_server
+             # --slots): per-request conditioning embeds + token decode
+             "embed_prompt_fn": embed_prompt_fn,
+             "decode_image_fn": decode_image_fn,
+             "prompt_width": cls_token_num,
+             "embed_dim": getattr(eng.model_cfg, "hidden_size", 0)},
             f"llamagen-{name}", smoke),
     )
 

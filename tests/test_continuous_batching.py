@@ -393,3 +393,56 @@ def test_streaming_batcher_short_prompt_padding():
         assert toks[i + 2] == 50
         i += 3
     assert toks[i] == 49
+
+
+def test_streaming_batcher_embedding_mode():
+    """Embedding-mode StreamingBatcher (LlamaGen c2i serving): class-embed
+    prompts submitted online; every completion is a full fixed-length image
+    block and live slots are undisturbed by admissions."""
+    from sjd_tpu.core import EngineConfig, GrammarSpec, SJDEngine
+    from sjd_tpu.core.serving import StreamingBatcher
+    from sjd_tpu.models import DecoderConfig, decoder_model_fns, init_params
+    from sjd_tpu.models.llamagen import (
+        LLAMAGEN_GRAMMAR,
+        embed_class,
+        embed_uncond_class,
+        init_cond_params,
+    )
+
+    latent = 4
+    block = latent * latent
+    cfg = DecoderConfig(
+        vocab_size=32, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=8, rope_style="2d",
+        rope_2d_cls_len=1, rope_2d_grid_side=latent, dtype=jnp.float32,
+        max_position_embeddings=64,
+    )
+    rng = jax.random.PRNGKey(0)
+    params = init_params(rng, cfg)
+    cond = init_cond_params(rng, cfg, num_classes=10, model_type="c2i")
+    model = decoder_model_fns(cfg, max_positions=64)
+    eng = SJDEngine(
+        model,
+        EngineConfig(window=5, interval_r=block - 7, max_len=1 + block,
+                     eos_id=-1, cfg_mode="neg_prompt"),
+        LLAMAGEN_GRAMMAR,
+        SamplingParams(do_cfg=True, guidance_scale=4.0, image_top_k=32,
+                       text_top_k=32),
+    )
+    ne1 = embed_uncond_class(cond, 1, jnp.float32)[0]
+
+    sb = StreamingBatcher(eng, params, batch=2, chunk_steps=4,
+                          prompt_width=1, embed_dim=cfg.hidden_size)
+    handles = []
+    for label in (3, 7, 5, 2, 9):
+        pe = embed_class(cond, jnp.asarray([label], jnp.int32),
+                         jnp.float32)[0]
+        handles.append(sb.submit(prompt_embeds=pe, neg_prompt_embeds=ne1,
+                                 seed=label))
+    results = [h.wait(timeout=180) for h in handles]
+    sb.close()
+    for res in results:
+        assert res.gen_count >= block
+        # all generated tokens are image-vocab ids under the llamagen grammar
+        toks = res.tokens[1 : 1 + block]
+        assert ((0 <= toks) & (toks < 32)).all()
