@@ -77,7 +77,13 @@ def make_handler(worker: ModelWorker, stats: dict):
 
         def do_GET(self):
             if self.path == "/health":
-                body = json.dumps({"status": "ok", **stats}).encode()
+                streamer = stats.get("_streamer")
+                extra = streamer.stats() if streamer is not None else {}
+                body = json.dumps(
+                    {"status": "ok", **extra,
+                     **{k: v for k, v in stats.items()
+                        if not k.startswith("_")}}
+                ).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
@@ -244,7 +250,8 @@ def main():
     worker.start()
     worker.ready.wait()
 
-    stats = {"model": model.name}
+    stats = {"model": model.name, "slots": args.slots, "_streamer": streamer,
+             "smoke": bool(model.extras.get("smoke"))}
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(worker, stats))
     print(f"serving {model.name} on :{args.port}")
     server.serve_forever()

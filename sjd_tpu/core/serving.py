@@ -249,11 +249,25 @@ class StreamingBatcher:
 
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
-        self._pending: List[tuple] = []  # (PendingResult, ids, neg, seed, meta)
+        self._pending: List[tuple] = []  # (PendingResult, payload, neg, seed, meta)
         self._count = 0
+        self._completed = 0
+        self._in_flight = 0
+        self._tokens_out = 0
         self._closed = False
         self._thread = threading.Thread(target=self._drive, daemon=True)
         self._thread.start()
+
+    def stats(self) -> dict:
+        """Serving observability snapshot (demo_server /health)."""
+        with self._lock:
+            return {
+                "submitted": self._count,
+                "completed": self._completed,
+                "in_flight": self._in_flight,
+                "pending": len(self._pending),
+                "tokens_generated": self._tokens_out,
+            }
 
     # -- client side -------------------------------------------------------
 
@@ -400,6 +414,9 @@ class StreamingBatcher:
                     )
                     # remember request rows for refill padding
                     self._last = (fill[1], fill[2])
+                    with self._lock:
+                        self._in_flight = sum(
+                            o is not None for o in occupants)
                     continue
 
                 # chunk boundary: harvest finished occupied slots
@@ -411,11 +428,15 @@ class StreamingBatcher:
                         if lengths is None:
                             lengths = np.asarray(state.length)
                         row = np.asarray(state.tokens[b, : int(lengths[b])])
+                        gen_n = int(lengths[b]) - int(state.prompt_rows)
                         h._resolve(CompletedGeneration(
                             prompt_index=h.index, tokens=row.copy(),
-                            gen_count=int(lengths[b]) - int(state.prompt_rows),
+                            gen_count=gen_n,
                         ))
                         occupants[b] = None
+                        with self._lock:
+                            self._completed += 1
+                            self._tokens_out += gen_n
 
                 # slots freed by the harvest can admit requests THIS chunk
                 free = sum(o is None for o in occupants) - len(new)
@@ -439,6 +460,8 @@ class StreamingBatcher:
                         refill_mask, gstate=g, **kw,
                     )
 
+                with self._lock:
+                    self._in_flight = sum(o is not None for o in occupants)
                 if all(o is None for o in occupants):
                     state = None  # park: queue drained
                     continue
