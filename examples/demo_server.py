@@ -167,6 +167,10 @@ def main():
             kwargs["vq_dtype"] = jnp.bfloat16
     else:  # anole
         kwargs = dict(ckpt_dir=args.ckpt_dir, vq_ckpt=args.vq_ckpt)
+        if args.quantize:
+            kwargs["quantize"] = (
+                args.quantize if args.quantize == "w4a8" else int(args.quantize)
+            )
     model = load_pretrained_model(args.model, **kwargs)
 
     def _decode_images(req):
@@ -203,8 +207,8 @@ def main():
                 embed_dim=model.extras["embed_dim"],
             )
         else:
-            assert "lumina" in args.model or "emu3" in args.model, (
-                "--slots > 1 serves lumina / emu3 / llamagen")
+            assert any(k in args.model for k in ("lumina", "emu3", "anole")), (
+                "--slots > 1 serves lumina / emu3 / anole / llamagen")
             prompt_ids_fn = model.extras["prompt_ids_fn"]
             if "emu3" in args.model:
                 # Emu3 CFG needs the separate full negative generation

@@ -715,7 +715,9 @@ def load_anole(
 
     mode = normalize_mode(multimodal_generation_mode)
 
-    def _generate_ids(prompt: str, rng_seed: int):
+    def prompt_ids_fn(prompt: str):
+        """Text -> prompt ids (with <boi> appended for image-only mode) —
+        the serving seam for StreamingBatcher."""
         if tokenizer is not None:
             ids = list(tokenizer.encode(prompt))
         else:
@@ -723,6 +725,10 @@ def load_anole(
             ids = [(h >> (4 * i)) % 4000 + 9000 for i in range(12)]
         if mode == "image-only":
             ids = ids + [BOI_ID]
+        return ids
+
+    def _generate_ids(prompt: str, rng_seed: int):
+        ids = prompt_ids_fn(prompt)
         res = eng.generate(
             params, jax.random.PRNGKey(rng_seed), jnp.asarray([ids], jnp.int32)
         )
@@ -752,6 +758,17 @@ def load_anole(
             start = len(ids) + rel
         return _decode_image_span(toks, start)
 
+    def decode_image_fn(toks):
+        """Generated token row -> PIL image: first <boi> followed by a full
+        1024-token span (pad/prompt-position agnostic, so it works on
+        left-padded StreamingBatcher rows too)."""
+        toks = [int(t) for t in toks]
+        start = next(
+            (k + 1 for k, t in enumerate(toks)
+             if t == BOI_ID and len(toks) - k > 1024), None)
+        assert start is not None, "no complete image in the generation"
+        return _decode_image_span(toks, start)
+
     def encode_image_fn(image) -> list:
         """pixels -> VQ tokens -> BPE image-token ids (get_image_tokens,
         anole/modeling_chameleon.py:1588-1604); callers splice them between
@@ -776,6 +793,9 @@ def load_anole(
             {"vq_params": vq_params, "vq_cfg": vq_cfg, "mapping": mapping,
              "multimodal_generation_mode": multimodal_generation_mode,
              "encode_image_fn": encode_image_fn,
+             # serving seams (StreamingBatcher in examples/demo_server.py)
+             "prompt_ids_fn": prompt_ids_fn,
+             "decode_image_fn": decode_image_fn,
              "boi_id": BOI_ID},
             "anole", smoke),
     )
