@@ -8,6 +8,9 @@ queue (exactly the survey's note: "single JAX process per host; queue at the
 Python layer"). Serves a minimal HTTP API:
 
   POST /generate {"prompt": "...", "seed": 42}  -> PNG bytes
+                 (--slots > 1: "seed" only seeds a freshly-started batch;
+                  co-scheduled requests share one rng stream — see
+                  core/serving.py StreamingBatcher)
   POST /generate_i2i {"prompt": "edit <|image|> ...",
                       "images": [<base64 PNG>...], "seed": 42} -> PNG bytes
                      (demo_image2image.py equivalent; lumina only)
@@ -110,8 +113,11 @@ def make_handler(worker: ModelWorker, stats: dict):
                 return
             buf = io.BytesIO()
             img.save(buf, format="PNG")
-            stats["served"] = stats.get("served", 0) + 1
-            stats["last_latency_s"] = round(dt, 2)
+            # handler threads run concurrently in --slots mode; the counter
+            # needs the lock or simultaneous completions undercount
+            with stats["_lock"]:
+                stats["served"] = stats.get("served", 0) + 1
+                stats["last_latency_s"] = round(dt, 2)
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
             self.end_headers()
@@ -130,9 +136,14 @@ def main():
     ap.add_argument("--gpt-model", default="GPT-B")
     ap.add_argument("--latent-size", type=int, default=8)
     ap.add_argument("--slots", type=int, default=1,
-                    help="continuous-batching slots for /generate (lumina "
-                    "only; >1 serves concurrent requests through one "
-                    "StreamingBatcher — 5 is the measured v5e-1 optimum)")
+                    help="continuous-batching slots for /generate (>1 "
+                    "serves concurrent requests through one "
+                    "StreamingBatcher; 4 is the measured v5e-1 ceiling "
+                    "for lumina 768px with the VQ decoder resident — "
+                    "PERF_NOTES.md; emu3/anole: 2)")
+    ap.add_argument("--prompt-bucket", type=int, default=256,
+                    help="extra prompt-token headroom over a minimal "
+                    "prompt in --slots mode (longer prompts 500)")
     ap.add_argument("--chunk-steps", type=int, default=192)
     ap.add_argument("--emu3-grid", type=int, default=90,
                     help="Emu3 latent grid side (90 = 720px)")
@@ -145,32 +156,24 @@ def main():
     if "lumina" in args.model:
         kwargs = dict(ckpt_dir=args.ckpt_dir, vq_ckpt=args.vq_ckpt,
                       target_size=args.target_size)
-        if args.quantize:
-            kwargs["quantize"] = (
-                args.quantize if args.quantize == "w4a8" else int(args.quantize)
-            )
-        if args.slots > 1:
-            # bf16 VQ decode: the 768px fp32 decoder transients (~1 GB)
-            # OOM next to a full slot batch (HBM budget in PERF_NOTES.md)
-            import jax.numpy as jnp
-
-            kwargs["vq_dtype"] = jnp.bfloat16
     elif "llamagen" in args.model:
         kwargs = dict(gpt_ckpt=args.ckpt_dir, vq_ckpt=args.vq_ckpt,
                       name=args.gpt_model, latent_size=args.latent_size)
     elif "emu3" in args.model:
         kwargs = dict(ckpt_dir=args.ckpt_dir, vq_ckpt_dir=args.vq_ckpt,
                       h=args.emu3_grid, w=args.emu3_grid)
-        if args.slots > 1:
-            import jax.numpy as jnp
-
-            kwargs["vq_dtype"] = jnp.bfloat16
     else:  # anole
         kwargs = dict(ckpt_dir=args.ckpt_dir, vq_ckpt=args.vq_ckpt)
-        if args.quantize:
-            kwargs["quantize"] = (
-                args.quantize if args.quantize == "w4a8" else int(args.quantize)
-            )
+    if args.quantize:  # every loader takes quantize (w4a8 / 8 / 4)
+        kwargs["quantize"] = (
+            args.quantize if args.quantize == "w4a8" else int(args.quantize)
+        )
+    if args.slots > 1 and ("lumina" in args.model or "emu3" in args.model):
+        # bf16 VQ decode: the 768px fp32 decoder transients (~1 GB) OOM
+        # next to a full slot batch (HBM budget in PERF_NOTES.md)
+        import jax.numpy as jnp
+
+        kwargs["vq_dtype"] = jnp.bfloat16
     model = load_pretrained_model(args.model, **kwargs)
 
     def _decode_images(req):
@@ -215,11 +218,12 @@ def main():
                 # prompt per slot (cfg_mode=neg_prompt); 2 slots are the
                 # 16 GB ceiling
                 neg_ids = model.extras["neg_ids_fn"]()
-            # bucket = longest practical prompt; shorter are left-padded
+            # bucket = minimal prompt + --prompt-bucket headroom; shorter
+            # prompts are left-padded, longer ones rejected (HTTP 500)
             streamer = StreamingBatcher(
                 model.engine, model.params, batch=args.slots,
                 chunk_steps=args.chunk_steps,
-                prompt_width=max(64, len(prompt_ids_fn("x")) + 48),
+                prompt_width=len(prompt_ids_fn("x")) + args.prompt_bucket,
                 neg_width=len(neg_ids) + 48 if neg_ids is not None else 0,
                 make_gstate=model.extras.get("make_gstate"),
             )
@@ -242,6 +246,13 @@ def main():
                 return model.extras["decode_image_fn"](
                     handle.wait().tokens.tolist())
             return model.sample_fn(req.get("prompt", ""), seed)
+        # image-input flows run a second B=1 engine state; next to a full
+        # slot batch that exceeds the HBM budget and an OOM would fail every
+        # in-flight /generate — refuse up front in batched mode
+        assert streamer is None, (
+            "/generate_i2i and /freeform are unavailable with --slots > 1 "
+            "(a second engine state does not fit beside the slot batch); "
+            "run a separate --slots 1 server for image-input flows")
         if kind == "i2i":
             fn = model.extras.get("sample_i2i_fn")
             assert fn is not None, f"{model.name} has no image-input path"
@@ -255,6 +266,7 @@ def main():
     worker.ready.wait()
 
     stats = {"model": model.name, "slots": args.slots, "_streamer": streamer,
+             "_lock": threading.Lock(),
              "smoke": bool(model.extras.get("smoke"))}
     server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(worker, stats))
     print(f"serving {model.name} on :{args.port}")

@@ -206,9 +206,13 @@ class StreamingBatcher:
     resolving finished slots' futures.
 
     Unlike :class:`ContinuousBatcher` (a fixed prompt list), arrival order
-    interleaves with the decode loop, so trajectories are NOT bit-reproducible
-    across runs — each request gets its own rng derived from the submitted
-    seed, but slot/refill timing depends on load.
+    interleaves with the decode loop, so outputs are NOT reproducible per
+    request: the engine carries ONE rng stream per batch — ``seed`` seeds
+    that stream only when the request starts a fresh batch (every other
+    request samples from wherever the shared stream is when it is admitted,
+    so results depend on co-scheduled load). For reference-style per-prompt
+    seed reproducibility, use B=1 ``sample_fn`` or :class:`ContinuousBatcher`
+    with a fixed prompt list.
 
     Idle slots (fewer live requests than B) carry a copy of the first
     prompt whose output is discarded; a mid-flight refill re-arms them the
@@ -478,4 +482,5 @@ class StreamingBatcher:
                     for h, *_ in self._pending:
                         h._fail(e)
                     self._pending.clear()
+                    self._in_flight = 0  # /health must not show ghosts
                 state = None
