@@ -30,9 +30,17 @@ def main():
     ap.add_argument("--gpt-model", default="GPT-XL")
     ap.add_argument("--latent-size", type=int, default=16)
     ap.add_argument("--quantize", nargs="?", const="8", default=None,
-                    choices=["4", "8"],
+                    choices=["4", "8", "w4a8"],
                     help="quantized weight serving: 8 = int8 W8A16, "
-                         "4 = int4 W4A16 (equilibrated per-channel)")
+                         "4 = int4 W4A16 (equilibrated per-channel), "
+                         "w4a8 = int4 weights + int8 activations (the "
+                         "batch-serving mode)")
+    ap.add_argument("--slots", type=int, default=0,
+                    help="continuous-batching generation: stream the shard "
+                    "through N engine slots (run_prompt_set_batched) — "
+                    "~1.6x the B=1 throughput on one chip; statistical "
+                    "scores unaffected, exact images depend on the cohort")
+    ap.add_argument("--chunk-steps", type=int, default=192)
     ap.add_argument("--no-quantize", action="store_true",
                     help="force-disable quantized weights (overrides "
                          "per-family defaults)")
@@ -80,12 +88,13 @@ def main():
                   image_top_k=args.image_top_k, scheme=args.scheme,
                   init=args.init)
     quantize = False if args.no_quantize else (
-        int(args.quantize) if args.quantize else False
+        (args.quantize if args.quantize == "w4a8" else int(args.quantize))
+        if args.quantize else False
     )
     if "llamagen" in args.model:
         kwargs = dict(gpt_ckpt=args.ckpt_dir, vq_ckpt=args.vq_ckpt,
                       name=args.gpt_model, latent_size=args.latent_size,
-                      **common)
+                      quantize=quantize, **common)
     elif "emu3" in args.model:
         # quantize defaults True for the 8B (HBM) but stays overridable
         kwargs = dict(ckpt_dir=args.ckpt_dir, **common)
@@ -98,10 +107,19 @@ def main():
                       target_size=args.target_size, seed=args.seed,
                       quantize=quantize, **common)
     model = load_pretrained_model(args.model, **kwargs)
-    stats = run_prompt_set(
-        model.sample_fn, shard, workdir,
-        stats_path=os.path.join(workdir, f"stats_n{args.node_id}_w{args.worker_id}.json"),
-    )
+    stats_path = os.path.join(
+        workdir, f"stats_n{args.node_id}_w{args.worker_id}.json")
+    if args.slots > 1:
+        from sjd_tpu.eval.harness import run_prompt_set_batched
+
+        stats = run_prompt_set_batched(
+            model, shard, workdir, slots=args.slots,
+            chunk_steps=args.chunk_steps, stats_path=stats_path,
+        )
+    else:
+        stats = run_prompt_set(
+            model.sample_fn, shard, workdir, stats_path=stats_path,
+        )
     print(json.dumps(stats))
 
     if args.fid_reference_dir:

@@ -63,3 +63,102 @@ def workdir_name(model_name: str, **hyperparams) -> str:
     workdir naming (:139-142), so different configs never collide."""
     parts = [model_name] + [f"{k}-{v}" for k, v in sorted(hyperparams.items())]
     return "_".join(str(p).replace("/", "-") for p in parts)
+
+
+def run_prompt_set_batched(
+    model,  # LoadedModel with serving seams in .extras
+    records: Sequence[PromptRecord],
+    workdir: str,
+    *,
+    slots: int = 4,
+    chunk_steps: int = 192,
+    log_every: int = 1,
+    stats_path: Optional[str] = None,
+) -> dict:
+    """Batched benchmark generation: pending prompts stream through
+    ``slots`` engine slots (core/serving.py StreamingBatcher) instead of
+    the B=1 `sample_fn` loop — measured 8.8 vs 5.6 img/min on one v5e chip
+    at the Lumina 768px config (PERF_NOTES.md).
+
+    Skip-existing resume is preserved at image granularity (each completed
+    slot is decoded and atomically written as it finishes). Statistical
+    scores (FID/IS/CLIP) are unaffected by batching; EXACT per-image
+    outputs depend on the co-scheduled cohort (one rng stream per batch) —
+    use the B=1 runner for bit-reproducible per-prompt generations.
+
+    Uses the loader's serving seams: extras["prompt_ids_fn"] (+ optional
+    "neg_ids_fn"/"make_gstate", Emu3) or extras["embed_prompt_fn"]
+    (LlamaGen) with "decode_image_fn".
+    """
+    from sjd_tpu.core.serving import StreamingBatcher
+
+    os.makedirs(workdir, exist_ok=True)
+    extras = model.extras
+    decode = extras["decode_image_fn"]
+
+    pending = []
+    skipped = 0
+    for rec in records:
+        if os.path.exists(os.path.join(workdir, f"{rec.index}.png")):
+            skipped += 1
+        else:
+            pending.append(rec)
+    if not pending:
+        stats = {"generated": 0, "skipped_existing": skipped,
+                 "images_per_min": None}
+        if stats_path:
+            with open(stats_path, "w") as f:
+                json.dump(stats, f)
+        return stats
+
+    embed_mode = "embed_prompt_fn" in extras and "prompt_ids_fn" not in extras
+    if embed_mode:
+        batcher = StreamingBatcher(
+            model.engine, model.params, batch=slots, chunk_steps=chunk_steps,
+            prompt_width=extras["prompt_width"],
+            embed_dim=extras["embed_dim"],
+        )
+        handles = []
+        for rec in pending:
+            pe, ne, pm = extras["embed_prompt_fn"](rec.prompt)
+            handles.append(batcher.submit(
+                prompt_embeds=pe[0], neg_prompt_embeds=ne[0],
+                prompt_mask=pm[0] if pm is not None else None))
+    else:
+        prompt_rows = [extras["prompt_ids_fn"](rec.prompt) for rec in pending]
+        neg = extras["neg_ids_fn"]() if "neg_ids_fn" in extras else None
+        batcher = StreamingBatcher(
+            model.engine, model.params, batch=slots, chunk_steps=chunk_steps,
+            prompt_width=max(len(r) for r in prompt_rows),
+            neg_width=len(neg) if neg is not None else 0,
+            make_gstate=extras.get("make_gstate"),
+        )
+        handles = [
+            batcher.submit(row, neg_prompt_ids=neg) for row in prompt_rows
+        ]
+
+    t0 = time.time()
+    done = 0
+    for rec, handle in zip(pending, handles):
+        res = handle.wait()
+        image = decode(res.tokens.tolist())
+        out = os.path.join(workdir, f"{rec.index}.png")
+        tmp = out + ".tmp"
+        image.save(tmp, format="PNG")
+        os.replace(tmp, out)
+        done += 1
+        if log_every and done % log_every == 0:
+            print(f"[{done}/{len(pending)}] {rec.index}: {rec.prompt[:60]}")
+    batcher.close()
+    wall = time.time() - t0
+    stats = {
+        "generated": done,
+        "skipped_existing": skipped,
+        "slots": slots,
+        "wall_s": round(wall, 2),
+        "images_per_min": round(60.0 * done / wall, 2) if wall else None,
+    }
+    if stats_path:
+        with open(stats_path, "w") as f:
+            json.dump(stats, f)
+    return stats

@@ -162,3 +162,52 @@ def test_demo_server_dispatch_routes():
     assert w.generate("i2i", {"prompt": "x", "images": []})[1] == "img:i2i"
     assert w.generate("freeform", {"qas": []})[1] == "img:freeform"
     assert [k for k, _ in calls] == ["t2i", "i2i", "freeform"]
+
+
+def test_run_prompt_set_batched_resume(tmp_path):
+    """Batched eval runner (run_prompt_set_batched): streams pending prompts
+    through engine slots via the loader serving seams, writes {index}.png
+    atomically as slots finish, and preserves skip-existing resume."""
+    import numpy as np
+    from PIL import Image
+
+    from sjd_tpu.core import SamplingParams
+    from sjd_tpu.eval.datasets import PromptRecord
+    from sjd_tpu.eval.harness import run_prompt_set_batched
+
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from helpers import TINY_GRAMMAR, make_engine, tiny_params
+
+    eng = make_engine(
+        window=5, scheme="speculative_jacobi", max_len=64, cfg_mode="none",
+        grammar=TINY_GRAMMAR,
+        sampling=SamplingParams(do_cfg=False, image_top_k=44, text_top_k=60),
+        eos_id=49,
+    )
+    params = tiny_params()
+
+    def prompt_ids_fn(prompt):
+        # size token from the prompt text -> divergent grid sizes
+        return [1, 2, 48, 53 + (len(prompt) % 2), 53 + (len(prompt) % 2)]
+
+    def decode_image_fn(toks):
+        px = (np.asarray(toks[-4:], np.uint8) % 16) * 16
+        return Image.fromarray(np.tile(px, (4, 1)).astype(np.uint8), "L")
+
+    class FakeModel:
+        engine = eng
+        extras = {"prompt_ids_fn": prompt_ids_fn,
+                  "decode_image_fn": decode_image_fn}
+    FakeModel.params = params
+
+    records = [PromptRecord(index=i, prompt="p" * (i + 1)) for i in range(5)]
+    wd = str(tmp_path / "wd")
+    stats = run_prompt_set_batched(FakeModel, records, wd, slots=2,
+                                   chunk_steps=8)
+    assert stats["generated"] == 5 and stats["skipped_existing"] == 0
+    assert all(os.path.exists(os.path.join(wd, f"{i}.png")) for i in range(5))
+
+    # resume: everything exists -> nothing regenerates, no engine work
+    stats2 = run_prompt_set_batched(FakeModel, records, wd, slots=2)
+    assert stats2["generated"] == 0 and stats2["skipped_existing"] == 5
