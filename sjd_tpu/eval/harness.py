@@ -118,12 +118,23 @@ def run_prompt_set_batched(
             prompt_width=extras["prompt_width"],
             embed_dim=extras["embed_dim"],
         )
-        handles = []
-        for rec in pending:
-            pe, ne, pm = extras["embed_prompt_fn"](rec.prompt)
-            handles.append(batcher.submit(
-                prompt_embeds=pe[0], neg_prompt_embeds=ne[0],
-                prompt_mask=pm[0] if pm is not None else None))
+
+        # submit lazily in waves: eagerly submitting the whole shard would
+        # materialize every prompt's [P, D] conditioning on the device at
+        # once (a full Parti t2i run is ~1.6 GB of caption embeddings)
+        def handles_iter():
+            wave = 4 * slots
+            queue = []
+            for i, rec in enumerate(pending):
+                pe, ne, pm = extras["embed_prompt_fn"](rec.prompt)
+                queue.append(batcher.submit(
+                    prompt_embeds=pe[0], neg_prompt_embeds=ne[0],
+                    prompt_mask=pm[0] if pm is not None else None))
+                while len(queue) >= wave:
+                    yield queue.pop(0)
+            yield from queue
+
+        handles = handles_iter()
     else:
         prompt_rows = [extras["prompt_ids_fn"](rec.prompt) for rec in pending]
         neg = extras["neg_ids_fn"]() if "neg_ids_fn" in extras else None

@@ -211,3 +211,68 @@ def test_run_prompt_set_batched_resume(tmp_path):
     # resume: everything exists -> nothing regenerates, no engine work
     stats2 = run_prompt_set_batched(FakeModel, records, wd, slots=2)
     assert stats2["generated"] == 0 and stats2["skipped_existing"] == 5
+
+
+def test_run_prompt_set_batched_embed_mode(tmp_path):
+    """Embedding-mode batched eval (LlamaGen c2i): wave-limited lazy
+    submission, every prompt produces a PNG."""
+    import numpy as np
+    from PIL import Image
+
+    import jax
+    import jax.numpy as jnp
+
+    from sjd_tpu.core import EngineConfig, SamplingParams, SJDEngine
+    from sjd_tpu.eval.datasets import PromptRecord
+    from sjd_tpu.eval.harness import run_prompt_set_batched
+    from sjd_tpu.models import DecoderConfig, decoder_model_fns, init_params
+    from sjd_tpu.models.llamagen import (
+        LLAMAGEN_GRAMMAR,
+        embed_class,
+        embed_uncond_class,
+        init_cond_params,
+    )
+
+    latent = 4
+    block = latent * latent
+    cfg = DecoderConfig(
+        vocab_size=32, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=8, rope_style="2d",
+        rope_2d_cls_len=1, rope_2d_grid_side=latent, dtype=jnp.float32,
+        max_position_embeddings=64,
+    )
+    rng = jax.random.PRNGKey(0)
+    params = init_params(rng, cfg)
+    cond = init_cond_params(rng, cfg, num_classes=10, model_type="c2i")
+    eng = SJDEngine(
+        decoder_model_fns(cfg, max_positions=64),
+        EngineConfig(window=5, interval_r=block - 7, max_len=1 + block,
+                     eos_id=-1, cfg_mode="neg_prompt"),
+        LLAMAGEN_GRAMMAR,
+        SamplingParams(do_cfg=True, guidance_scale=4.0, image_top_k=32,
+                       text_top_k=32),
+    )
+
+    def embed_prompt_fn(prompt):
+        pe = embed_class(cond, jnp.asarray([int(prompt)], jnp.int32),
+                         jnp.float32)
+        ne = embed_uncond_class(cond, 1, jnp.float32)
+        return pe, ne, None
+
+    def decode_image_fn(toks):
+        px = (np.asarray(toks[1 : 1 + block], np.uint8) % 16) * 16
+        return Image.fromarray(px.reshape(latent, latent), "L")
+
+    class FakeModel:
+        engine = eng
+        extras = {"embed_prompt_fn": embed_prompt_fn,
+                  "decode_image_fn": decode_image_fn,
+                  "prompt_width": 1, "embed_dim": cfg.hidden_size}
+    FakeModel.params = params
+
+    records = [PromptRecord(index=i, prompt=str(i % 10)) for i in range(5)]
+    wd = str(tmp_path / "wd")
+    stats = run_prompt_set_batched(FakeModel, records, wd, slots=2,
+                                   chunk_steps=4)
+    assert stats["generated"] == 5
+    assert all(os.path.exists(os.path.join(wd, f"{i}.png")) for i in range(5))
