@@ -34,6 +34,7 @@ import os
 import time
 
 BASELINE_LATENCY_S = 47.13  # A100 SJD, "golden-haired lion" row (BASELINE.md)
+BASELINE_NFE = 1115  # the reference run's forward count for that row
 EMU3_BASELINE_S = 512.6  # A100 SJD end-to-end generate (test_emu3.py:177)
 
 
@@ -376,6 +377,12 @@ def bench_lumina(serving: bool = False):
     nfe = int(res.nfe)
     gen = int(res.gen_count[0])
     ar_steps = gen  # AR would take one forward per token
+    # NFE-normalized latency: random-weight NFE is chaotic across seeds
+    # (841-1139 band, README) — ms_per_forward x the REFERENCE's 1115 NFE is
+    # the seed-independent invariant, so vs_baseline_at_ref_nfe does not
+    # depend on where this run's NFE happened to land.
+    ms_fwd = 1000 * latency / max(nfe, 1)
+    at_ref_nfe = ms_fwd * BASELINE_NFE / 1000
     print(
         json.dumps(
             {
@@ -406,7 +413,11 @@ def bench_lumina(serving: bool = False):
                 "batch": batch,
                 "images_per_min": round(60.0 * batch / latency, 2),
                 "step_reduction_vs_ar": round(ar_steps / max(nfe, 1), 3),
-                "ms_per_forward": round(1000 * latency / max(nfe, 1), 1),
+                "ms_per_forward": round(ms_fwd, 1),
+                "latency_at_ref_nfe_s": round(at_ref_nfe, 2),
+                "vs_baseline_at_ref_nfe": round(
+                    BASELINE_LATENCY_S / at_ref_nfe, 3),
+                "nfe_seed_band": "841-1139 (random weights, README)",
                 "compile_s": round(compile_and_run - latency, 1),
                 "baseline": f"A100+PyTorch SJD {BASELINE_LATENCY_S}s / 1115 NFE (BASELINE.md)",
             }

@@ -8,8 +8,8 @@ queue (exactly the survey's note: "single JAX process per host; queue at the
 Python layer"). Serves a minimal HTTP API:
 
   POST /generate {"prompt": "...", "seed": 42}  -> PNG bytes
-                 (--slots > 1: "seed" only seeds a freshly-started batch;
-                  co-scheduled requests share one rng stream — see
+                 (seed-reproducible in --slots mode too: each request's
+                  slot carries its own rng stream seeded from "seed" —
                   core/serving.py StreamingBatcher)
   POST /generate_i2i {"prompt": "edit <|image|> ...",
                       "images": [<base64 PNG>...], "seed": 42} -> PNG bytes
@@ -66,6 +66,10 @@ class ModelWorker(threading.Thread):
             try:
                 t0 = time.time()
                 return ("ok", self.dispatch(kind, req), time.time() - t0)
+            except TimeoutError as e:
+                # a wedged drive loop must shed requests (HTTP 503), not pin
+                # ThreadingHTTPServer handler threads forever (ADVICE r3)
+                return ("timeout", str(e) or "generation timed out", 0.0)
             except Exception as e:  # noqa: BLE001
                 return ("error", str(e), 0.0)
         reply: queue.Queue = queue.Queue()
@@ -106,7 +110,9 @@ def make_handler(worker: ModelWorker, stats: dict):
             req = json.loads(self.rfile.read(n) or b"{}")
             status, img, dt = worker.generate(routes[self.path], req)
             if status != "ok":
-                self.send_response(500)
+                # 503 for timeouts (retryable; the batcher may be wedged),
+                # 500 for real generation errors
+                self.send_response(503 if status == "timeout" else 500)
                 self.send_header("Content-Type", "application/json")
                 self.end_headers()
                 self.wfile.write(json.dumps({"error": img}).encode())
@@ -145,6 +151,10 @@ def main():
                     help="extra prompt-token headroom over a minimal "
                     "prompt in --slots mode (longer prompts 500)")
     ap.add_argument("--chunk-steps", type=int, default=192)
+    ap.add_argument("--wait-timeout", type=float, default=900.0,
+                    help="per-request generation timeout in --slots mode; "
+                    "expirations return HTTP 503 instead of pinning handler "
+                    "threads on a wedged drive loop")
     ap.add_argument("--emu3-grid", type=int, default=90,
                     help="Emu3 latent grid side (90 = 720px)")
     ap.add_argument("--quantize", default=None,
@@ -244,7 +254,7 @@ def main():
                     handle = streamer.submit(ids, neg_prompt_ids=neg_ids,
                                              seed=seed)
                 return model.extras["decode_image_fn"](
-                    handle.wait().tokens.tolist())
+                    handle.wait(timeout=args.wait_timeout).tokens.tolist())
             return model.sample_fn(req.get("prompt", ""), seed)
         # image-input flows run a second B=1 engine state; next to a full
         # slot batch that exceeds the HBM budget and an OOM would fail every

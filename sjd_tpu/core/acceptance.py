@@ -73,14 +73,21 @@ def speculative_accept(
     # resample_fn(rng, residual_logits [B, V], reject_row [B]) -> tokens [B]
 ) -> AcceptResult:
     B, W, V = p_new.shape
-    rng_u, rng_r = jax.random.split(rng)
+    if getattr(rng, "ndim", 0) == 2:  # per-sample [B, 2] streams
+        ks = jax.vmap(lambda k: jax.random.split(k, 2))(rng)  # [B, 2, 2]
+        rng_u, rng_r = ks[:, 0], ks[:, 1]
+        u = jax.vmap(
+            lambda k: jax.random.uniform(k, (W - 1,), jnp.float32)
+        )(rng_u)
+    else:
+        rng_u, rng_r = jax.random.split(rng)
+        u = jax.random.uniform(rng_u, (B, W - 1), jnp.float32)
 
     # --- acceptance tests for window slots 1..W-1 ----------------------------
     xi = x[:, 1:]  # [B, W-1] draft tokens under test
     p_adv_at_x = jnp.take_along_axis(p_new[:, :-1, :], xi[:, :, None], axis=2)[..., 0]
     p_drf_at_x = jnp.take_along_axis(p_draft[:, 1:, :], xi[:, :, None], axis=2)[..., 0]
     ratio = p_adv_at_x / jnp.maximum(p_drf_at_x, 1e-20)
-    u = jax.random.uniform(rng_u, (B, W - 1), jnp.float32)
     i = jnp.arange(1, W, dtype=jnp.int32)[None, :]
     accept = (u < jnp.minimum(ratio, 1.0)) & (i < active_w[:, None])
 

@@ -72,7 +72,12 @@ def build_window(
     lo, hi = spec.image_vocab_start, spec.image_vocab_end
     if hi < lo:  # no image vocab declared: fall back to the full vocab
         lo, hi = 0, V - 1
-    rand = jax.random.randint(rng, (B, W - 1), lo, hi + 1, jnp.int32)
+    if getattr(rng, "ndim", 0) == 2:  # per-sample [B, 2] streams
+        rand = jax.vmap(
+            lambda k: jax.random.randint(k, (W - 1,), lo, hi + 1, jnp.int32)
+        )(rng)
+    else:
+        rand = jax.random.randint(rng, (B, W - 1), lo, hi + 1, jnp.int32)
 
     # ---- spatial-extrapolation override -------------------------------------
     if scheme in ("repeat_horizon", "sample_horizon"):

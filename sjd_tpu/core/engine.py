@@ -188,6 +188,15 @@ class SJDEngine:
         """Generate from a token prompt or (LlamaGen-style) an embedding
         prompt — the conditioning prefix of llamagen/llamagen.py:383-391.
 
+        ``rng`` is either ONE legacy uint32 key ([2] — split into B
+        per-sample streams by batch position) or a [B, 2] stack of PER-SLOT
+        keys. Per-slot keys make each sample's trajectory a function of its
+        own key alone: the same (prompt, key) pair yields bit-identical
+        tokens regardless of what occupies the other slots — the per-request
+        seed-reproducibility contract of online serving (StreamingBatcher),
+        matching the reference's per-run generator semantics
+        (jacobi_iteration_lumina_mgpt.py:36-45, 1021-1023).
+
         ``max_steps`` bounds the number of forwards in THIS call; combined
         with ``return_state`` + :meth:`resume` it chunks one generation
         across multiple device dispatches (streaming/serving, or backends
@@ -197,6 +206,7 @@ class SJDEngine:
             prompt, prompt_mask, neg_prompt, neg_mask, gstate,
             prompt_embeds, neg_prompt_embeds,
         )
+        rng = self._normalize_rng(rng, prompt.shape[0])
         cap = self.config.resolved_nfe_cap() if max_steps is None else max_steps
         state = self._generate(
             params, rng, prompt, prompt_mask, neg_prompt, neg_mask, gstate,
@@ -204,6 +214,18 @@ class SJDEngine:
         )
         result = self._result_from_state(state)
         return (result, state) if return_state else result
+
+    @staticmethod
+    def _normalize_rng(rng, batch: int) -> jnp.ndarray:
+        """One legacy key [2] -> [B, 2] per-slot streams (split by batch
+        position); a [B, 2] stack passes through (per-request keys)."""
+        rng = jnp.asarray(rng)
+        if rng.ndim == 1:
+            return jax.random.split(rng, batch)
+        assert rng.shape == (batch, 2), (
+            f"rng must be one key [2] or per-slot keys [{batch}, 2]; got "
+            f"{rng.shape}")
+        return rng
 
     def _normalize_prompt_inputs(
         self, prompt, prompt_mask, neg_prompt, neg_mask, gstate,
@@ -280,6 +302,10 @@ class SJDEngine:
         gstate: Optional[grammar_lib.GrammarState] = None,
         prompt_embeds: Optional[jnp.ndarray] = None,
         neg_prompt_embeds: Optional[jnp.ndarray] = None,
+        rng: Optional[jnp.ndarray] = None,  # [B, 2] per-slot keys for the
+        # refilled slots (rows outside refill_mask are ignored); None folds
+        # fresh streams from the live state — deterministic but not
+        # per-request-seeded
     ) -> EngineState:
         """Continuous batching: replace FINISHED slots with fresh prompts.
 
@@ -295,31 +321,41 @@ class SJDEngine:
         generate() prompt (serving buckets prompts anyway); rows where
         ``refill_mask`` is False are ignored. For embedding-conditioned
         engines (LlamaGen) pass ``prompt_embeds`` and prompt=None, exactly
-        like generate(). The incoming ``state`` is DONATED. nfe increases
-        by 1 (the refill prefill forward).
+        like generate(). ``rng`` seeds the refilled slots' per-slot streams
+        (pass the request's PRNGKey row for reproducible-per-seed serving);
+        live slots keep their own streams untouched either way. The incoming
+        ``state`` is DONATED. nfe increases by 1 (the refill prefill
+        forward).
         """
         (prompt, prompt_mask, neg_prompt, neg_mask, gstate, prompt_embeds,
          neg_prompt_embeds) = self._normalize_prompt_inputs(
             prompt, prompt_mask, neg_prompt, neg_mask, gstate,
             prompt_embeds, neg_prompt_embeds,
         )
+        B = prompt.shape[0]
+        if rng is None:
+            # fold fresh per-slot streams from the live ones WITHOUT
+            # advancing them — unfinished slots' future sampling must be
+            # bit-identical to a no-refill resume
+            rng = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                state.rng, state.nfe
+            )
+        else:
+            rng = self._normalize_rng(rng, B)
         return self._refill(
             params, state, prompt, prompt_mask, neg_prompt, neg_mask, gstate,
             prompt_embeds, neg_prompt_embeds,
-            jnp.asarray(refill_mask, bool),
+            jnp.asarray(refill_mask, bool), rng,
         )
 
     def _refill_impl(
         self, params, state: EngineState, prompt, prompt_mask, neg_prompt,
         neg_mask, gstate0, prompt_embeds, neg_prompt_embeds, refill_mask,
+        rng_fill,
     ) -> EngineState:
         from ..models.transformer import unpack_int4_params
 
         params = unpack_int4_params(params)
-        # fresh-slot rng: folded from the live stream WITHOUT advancing it —
-        # unfinished slots' future sampling must be bit-identical to a
-        # no-refill resume
-        rng_fill = jax.random.fold_in(state.rng, state.nfe)
         # Prefill into a SMALL prompt-rows cache; a second full-size cache
         # would transiently double KV HBM (OOM at 768px CFG B=4). 512-row
         # multiples keep the chunked/Pallas attention tiling valid.
@@ -373,7 +409,10 @@ class SJDEngine:
         )
         gstate = jax.tree.map(pick_b, fresh.gstate, state.gstate)
         return EngineState(
-            rng=state.rng,  # unadvanced — see above
+            # per-slot streams: refilled slots take their fresh (seeded)
+            # stream; live slots' streams are untouched, so their future
+            # sampling is bit-identical to a no-refill resume
+            rng=pick_b(fresh.rng, state.rng),
             tokens=pick_b(fresh.tokens, state.tokens),
             length=pick_b(fresh.length, state.length),
             n_pad=pick_s(fresh.n_pad, state.n_pad),
@@ -567,7 +606,10 @@ class SJDEngine:
         n_pad = jnp.sum(~mask_s, axis=1).astype(jnp.int32)  # [S]
         positions = jnp.maximum(jnp.cumsum(mask_s.astype(jnp.int32), axis=1) - 1, 0)
 
-        rng, rng_prefill = jax.random.split(rng)
+        # per-slot streams: split each sample's [2] key independently so a
+        # slot's draws depend only on its own stream
+        ks = sampling_lib.split_rows(rng, 2)  # [B, 2, 2]
+        rng, rng_prefill = ks[:, 0], ks[:, 1]
         fwd_kwargs = {}
         if use_embeds:
             # LlamaGen-style conditioning prefix: the prompt enters as
@@ -640,7 +682,10 @@ class SJDEngine:
         W = cfg.window  # state shapes stay full-width across lax.cond branches
         Wr = w_step
         V = self.model.vocab_size
-        rng, rng_draft, rng_tok, rng_acc = jax.random.split(st.rng, 4)
+        ks = sampling_lib.split_rows(st.rng, 4)  # [B, 4, 2] per-slot streams
+        rng, rng_draft, rng_tok, rng_acc = (
+            ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+        )
 
         # real (unpadded) sequence length drives the interval logic
         pad_b = st.n_pad[:B]

@@ -7,6 +7,12 @@ and the stateful top-k/top-p warpers (logit_processor_3dim.py:158-419) with
 pure functions. RNG is threefry (`jax.random`) folded per decode step so a
 fixed seed gives a fixed generation, mirroring the reference's seeded
 `torch.Generator` (jacobi_iteration_lumina_mgpt.py:1021-1023).
+
+The samplers accept either ONE legacy uint32 key (shape [2] — draws shared
+across the batch) or PER-SAMPLE keys (shape [B, 2] — each batch row draws
+from its own independent stream). Per-sample streams are what makes a
+serving request's output depend only on its own seed, not on co-scheduled
+load (core/engine.py carries [B, 2] streams in EngineState).
 """
 
 from __future__ import annotations
@@ -17,9 +23,28 @@ import jax.numpy as jnp
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def batched_keys(rng: jax.Array) -> bool:
+    """True when ``rng`` is a [B, 2] stack of per-sample legacy keys."""
+    return getattr(rng, "ndim", 0) == 2
+
+
+def split_rows(rng: jax.Array, num: int) -> jax.Array:
+    """Per-row key split: [B, 2] -> [B, num, 2] (vmapped jax.random.split)."""
+    return jax.vmap(lambda k: jax.random.split(k, num))(rng)
+
+
 def sample_from_logits(rng: jax.Array, logits: jnp.ndarray) -> jnp.ndarray:
-    """Categorical sample over the last axis via Gumbel-max, fp32."""
-    g = jax.random.gumbel(rng, logits.shape, jnp.float32)
+    """Categorical sample over the last axis via Gumbel-max, fp32.
+
+    ``rng`` may be one key or per-sample [B, 2] keys (logits leading dim B).
+    """
+    if batched_keys(rng):
+        assert rng.shape[0] == logits.shape[0], (rng.shape, logits.shape)
+        g = jax.vmap(
+            lambda k, row: jax.random.gumbel(k, row.shape, jnp.float32)
+        )(rng, logits)
+    else:
+        g = jax.random.gumbel(rng, logits.shape, jnp.float32)
     safe = jnp.maximum(logits.astype(jnp.float32), NEG_INF)
     return jnp.argmax(safe + g, axis=-1).astype(jnp.int32)
 

@@ -33,6 +33,16 @@ class CompletedGeneration:
     gen_count: int
 
 
+def seed_keys(seeds) -> np.ndarray:
+    """Per-request seeds -> [B, 2] per-slot legacy key rows (the engine's
+    per-sample rng streams; SJDEngine.generate docstring)."""
+    import jax
+
+    return np.stack(
+        [np.asarray(jax.random.PRNGKey(int(s)), np.uint32) for s in seeds]
+    )
+
+
 class ContinuousBatcher:
     """Run a stream of same-width prompts through B engine slots.
 
@@ -72,10 +82,15 @@ class ContinuousBatcher:
         prompt_masks: Optional[np.ndarray] = None,  # [N, P] bool
         batch: int = 4,
         neg_prompts: Optional[np.ndarray] = None,  # [N, Pn] (cfg_mode=neg_prompt)
+        seeds: Optional[List[int]] = None,  # per-prompt seeds: prompt i's
+        # output becomes a function of (prompts[i], seeds[i]) alone —
+        # bit-identical regardless of batch size or co-scheduled prompts
     ) -> List[CompletedGeneration]:
         eng = self.engine
         N, P = prompts.shape
         B = min(batch, N)
+        if seeds is not None:
+            assert len(seeds) == N, (len(seeds), N)
         if prompt_masks is None:
             prompt_masks = np.ones((N, P), bool)
 
@@ -99,9 +114,14 @@ class ContinuousBatcher:
                 neg = put(neg) if neg is not None else None
             return ids, mask, neg, g
 
+        def keys_for(idx_list):
+            return seed_keys([seeds[i] for i in idx_list])
+
         ids, mask, neg, g = batch_rows(slot_prompt)
         res, state = eng.generate(
-            self.params, rng, ids, prompt_mask=mask, neg_prompt=neg,
+            self.params,
+            keys_for(slot_prompt) if seeds is not None else rng,
+            ids, prompt_mask=mask, neg_prompt=neg,
             gstate=g, max_steps=self.chunk_steps, return_state=True,
         )
 
@@ -157,6 +177,7 @@ class ContinuousBatcher:
                 state = eng.refill(
                     self.params, state, ids, refill_mask,
                     prompt_mask=mask, neg_prompt=neg, gstate=g,
+                    rng=keys_for(idx_for_rows) if seeds is not None else None,
                 )
             res, state = eng.resume(
                 self.params, state, max_steps=self.chunk_steps,
@@ -205,14 +226,13 @@ class StreamingBatcher:
     admitting new requests at chunk boundaries via SJDEngine.refill and
     resolving finished slots' futures.
 
-    Unlike :class:`ContinuousBatcher` (a fixed prompt list), arrival order
-    interleaves with the decode loop, so outputs are NOT reproducible per
-    request: the engine carries ONE rng stream per batch — ``seed`` seeds
-    that stream only when the request starts a fresh batch (every other
-    request samples from wherever the shared stream is when it is admitted,
-    so results depend on co-scheduled load). For reference-style per-prompt
-    seed reproducibility, use B=1 ``sample_fn`` or :class:`ContinuousBatcher`
-    with a fixed prompt list.
+    Requests are seed-reproducible: the engine carries PER-SLOT rng streams
+    (EngineState.rng [B, 2]), and each request's slot stream is seeded from
+    its own ``seed`` at admission — whether it joins a fresh batch or is
+    refilled mid-flight. ``submit(prompt, seed=s)`` therefore yields
+    bit-identical tokens regardless of arrival order or co-scheduled load
+    (tests/test_continuous_batching.py), matching the reference's per-run
+    generator semantics (jacobi_iteration_lumina_mgpt.py:36-45, 1021-1023).
 
     Idle slots (fewer live requests than B) carry a copy of the first
     prompt whose output is discarded; a mid-flight refill re-arms them the
@@ -293,6 +313,10 @@ class StreamingBatcher:
             assert pe.ndim == 2 and pe.shape[1] == self.embed_dim and (
                 pe.shape[0] <= self.P
             ), (pe.shape, self.P, self.embed_dim)
+            assert neg_prompt_embeds is not None, (
+                "embedding-mode batcher: neg_prompt_embeds is required "
+                "(the CFG unconditional row — embed_uncond_class/"
+                "embed_uncond_caption)")
             ne = jnp.asarray(neg_prompt_embeds)
             assert ne.shape == pe.shape, "neg_prompt_embeds must match"
             pm = (np.ones((pe.shape[0],), bool) if prompt_mask is None
@@ -409,10 +433,10 @@ class StreamingBatcher:
                         occupants[b] = r[0]
                     fill = new[0]
                     kw, g, seeds = rows_for(reqs, fill[1], fill[2])
-                    rng = jax.random.fold_in(
-                        jax.random.PRNGKey(seeds[0]), 0)
+                    # per-slot streams from each request's own seed —
+                    # submit(seed=s) is reproducible under any co-scheduling
                     _, state = eng.generate(
-                        self.params, rng, gstate=g,
+                        self.params, seed_keys(seeds), gstate=g,
                         max_steps=self.chunk_steps, return_state=True,
                         **kw,
                     )
@@ -455,13 +479,13 @@ class StreamingBatcher:
                         b = occupants.index(None)
                         occupants[b] = r[0]
                         reqs[b] = r
-                    kw, g, _ = rows_for(reqs, self._last[0], self._last[1])
+                    kw, g, seeds = rows_for(reqs, self._last[0], self._last[1])
                     refill_mask = np.zeros((B,), bool)
                     for b in reqs:
                         refill_mask[b] = True
                     state = eng.refill(
                         self.params, state, kw.pop("prompt", None),
-                        refill_mask, gstate=g, **kw,
+                        refill_mask, gstate=g, rng=seed_keys(seeds), **kw,
                     )
 
                 with self._lock:
@@ -474,13 +498,15 @@ class StreamingBatcher:
                     return_state=True,
                 )
             except BaseException as e:  # noqa: BLE001 — fail live handles
+                # Only the in-flight occupants touched the failing batch;
+                # queued requests never reached the engine, so they stay in
+                # _pending and the next loop iteration retries them in a
+                # fresh batch (ADVICE r3 — a transient error must not reject
+                # unrelated queued work).
                 for b in range(B):
                     if occupants[b] is not None:
                         occupants[b]._fail(e)
                         occupants[b] = None
                 with self._lock:
-                    for h, *_ in self._pending:
-                        h._fail(e)
-                    self._pending.clear()
                     self._in_flight = 0  # /health must not show ghosts
                 state = None

@@ -74,6 +74,7 @@ def run_prompt_set_batched(
     chunk_steps: int = 192,
     log_every: int = 1,
     stats_path: Optional[str] = None,
+    seed_base: int = 0,
 ) -> dict:
     """Batched benchmark generation: pending prompts stream through
     ``slots`` engine slots (core/serving.py StreamingBatcher) instead of
@@ -81,10 +82,11 @@ def run_prompt_set_batched(
     at the Lumina 768px config (PERF_NOTES.md).
 
     Skip-existing resume is preserved at image granularity (each completed
-    slot is decoded and atomically written as it finishes). Statistical
-    scores (FID/IS/CLIP) are unaffected by batching; EXACT per-image
-    outputs depend on the co-scheduled cohort (one rng stream per batch) —
-    use the B=1 runner for bit-reproducible per-prompt generations.
+    slot is decoded and atomically written as it finishes). Per-image
+    outputs are bit-reproducible: each record submits with
+    ``seed = seed_base + record.index`` onto its own per-slot rng stream
+    (core/serving.py), so a resumed or re-sharded run regenerates identical
+    images regardless of batch co-scheduling.
 
     Uses the loader's serving seams: extras["prompt_ids_fn"] (+ optional
     "neg_ids_fn"/"make_gstate", Emu3) or extras["embed_prompt_fn"]
@@ -129,7 +131,8 @@ def run_prompt_set_batched(
                 pe, ne, pm = extras["embed_prompt_fn"](rec.prompt)
                 queue.append(batcher.submit(
                     prompt_embeds=pe[0], neg_prompt_embeds=ne[0],
-                    prompt_mask=pm[0] if pm is not None else None))
+                    prompt_mask=pm[0] if pm is not None else None,
+                    seed=seed_base + rec.index))
                 while len(queue) >= wave:
                     yield queue.pop(0)
             yield from queue
@@ -145,31 +148,39 @@ def run_prompt_set_batched(
             make_gstate=extras.get("make_gstate"),
         )
         handles = [
-            batcher.submit(row, neg_prompt_ids=neg) for row in prompt_rows
+            batcher.submit(row, neg_prompt_ids=neg, seed=seed_base + rec.index)
+            for rec, row in zip(pending, prompt_rows)
         ]
 
     t0 = time.time()
     done = 0
-    for rec, handle in zip(pending, handles):
-        res = handle.wait()
-        image = decode(res.tokens.tolist())
-        out = os.path.join(workdir, f"{rec.index}.png")
-        tmp = out + ".tmp"
-        image.save(tmp, format="PNG")
-        os.replace(tmp, out)
-        done += 1
-        if log_every and done % log_every == 0:
-            print(f"[{done}/{len(pending)}] {rec.index}: {rec.prompt[:60]}")
-    batcher.close()
-    wall = time.time() - t0
-    stats = {
-        "generated": done,
-        "skipped_existing": skipped,
-        "slots": slots,
-        "wall_s": round(wall, 2),
-        "images_per_min": round(60.0 * done / wall, 2) if wall else None,
-    }
-    if stats_path:
-        with open(stats_path, "w") as f:
-            json.dump(stats, f)
+    # try/finally: a failed generation (handle.wait raising) must still shut
+    # the batcher's drive thread down and record the partial progress —
+    # leaking the daemon thread keeps device state alive for the rest of the
+    # process, and the skip-existing resume relies on the images already
+    # written (ADVICE r3).
+    try:
+        for rec, handle in zip(pending, handles):
+            res = handle.wait()
+            image = decode(res.tokens.tolist())
+            out = os.path.join(workdir, f"{rec.index}.png")
+            tmp = out + ".tmp"
+            image.save(tmp, format="PNG")
+            os.replace(tmp, out)
+            done += 1
+            if log_every and done % log_every == 0:
+                print(f"[{done}/{len(pending)}] {rec.index}: {rec.prompt[:60]}")
+    finally:
+        batcher.close()
+        wall = time.time() - t0
+        stats = {
+            "generated": done,
+            "skipped_existing": skipped,
+            "slots": slots,
+            "wall_s": round(wall, 2),
+            "images_per_min": round(60.0 * done / wall, 2) if wall else None,
+        }
+        if stats_path:
+            with open(stats_path, "w") as f:
+                json.dump(stats, f)
     return stats

@@ -184,6 +184,7 @@ def load_lumina_mgpt(
     ckpt_dir: Optional[str] = None,
     vq_ckpt: Optional[str] = None,
     *,
+    size: str = "7B",
     target_size: int = 768,
     window: int = 16,
     guidance_scale: float = 3.0,
@@ -196,6 +197,9 @@ def load_lumina_mgpt(
     vq_dtype=None,  # e.g. jnp.bfloat16: halves VQ-decode activation HBM —
     # the batched-serving setting (demo_server --slots > 1), where the
     # decoder's 768px fp32 transients (~1 GB) OOM next to a full slot batch
+    model_cfg=None,  # DecoderConfig override (tiny checkpoint drills /
+    # custom variants) — must keep the FlexAR vocab layout
+    vq_cfg=None,  # VQConfig override, same purpose
 ) -> LoadedModel:
     from sjd_tpu.data.item_processor import FlexARItemProcessor, size_token_id
     from sjd_tpu.data.vocab_translation import (
@@ -208,6 +212,7 @@ def load_lumina_mgpt(
 
     enable_persistent_cache()
     eng = lumina_engine(
+        size=size,
         target_size=target_size,
         window=window,
         guidance_scale=guidance_scale,
@@ -215,10 +220,12 @@ def load_lumina_mgpt(
         scheme=scheme,
         init=init,
         act_quant=_act_quant_of(quantize),
+        model_cfg=model_cfg,
     )
     params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
 
-    vq_cfg = CHAMELEON_VQ
+    if vq_cfg is None:
+        vq_cfg = CHAMELEON_VQ
     if vq_dtype is not None:
         import dataclasses as _dc
 
@@ -339,6 +346,9 @@ def load_emu3(
     positive_suffix: Optional[str] = None,
     quantize: bool = True,  # the 8B only fits one 16GB chip with int8 weights
     vq_dtype=None,  # e.g. jnp.bfloat16 for batched serving (halves VQ HBM)
+    model_cfg=None,  # DecoderConfig override (tiny checkpoint drills) —
+    # must keep the Emu3 vocab layout (visual block, special ids)
+    vq_cfg=None,  # Emu3VQConfig override, same purpose
 ) -> LoadedModel:
     from sjd_tpu.data.emu3_processor import build_gen_prompt, extract_image_grid
     from sjd_tpu.models.emu3 import emu3_engine, emu3_grammar_state
@@ -365,9 +375,11 @@ def load_emu3(
         h=h, w=w, window=window, guidance_scale=guidance_scale,
         image_top_k=image_top_k, scheme=scheme, init=init,
         act_quant=_act_quant_of(quantize),
+        model_cfg=model_cfg,
     )
     params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
-    vq_cfg = EMU3_VQ
+    if vq_cfg is None:
+        vq_cfg = EMU3_VQ
     if vq_dtype is not None:
         import dataclasses as _dc
 
@@ -550,6 +562,9 @@ def load_llamagen(
     init: str = "random",
     t5_dir: Optional[str] = None,
     quantize=False,
+    model_cfg=None,  # DecoderConfig override (tiny checkpoint drills);
+    # rope_2d_grid_side must match latent_size
+    vq_cfg=None,  # VQConfig override, same purpose
 ) -> LoadedModel:
     from sjd_tpu.models.llamagen import (
         embed_caption,
@@ -569,6 +584,7 @@ def load_llamagen(
         name=name, latent_size=latent_size, cls_token_num=cls_token_num,
         window=window, guidance_scale=guidance_scale, image_top_k=image_top_k,
         scheme=scheme, init=init, act_quant=_act_quant_of(quantize),
+        model_cfg=model_cfg,
     )
     if gpt_ckpt:
         from sjd_tpu.utils.port import load_torch_checkpoint, port_llamagen
@@ -580,7 +596,8 @@ def load_llamagen(
         params = _build_decoder_params(eng.model_cfg, None, quantize)
         cond = init_cond_params(jax.random.PRNGKey(1), eng.model_cfg,
                                 model_type=model_type)
-    vq_cfg = LLAMAGEN_VQ16
+    if vq_cfg is None:
+        vq_cfg = LLAMAGEN_VQ16
     if vq_ckpt:
         from sjd_tpu.utils.port import load_torch_checkpoint
 
@@ -669,6 +686,9 @@ def load_anole(
     multimodal_generation_mode: str = "image-only",
     tokenizer=None,
     quantize: bool = False,
+    model_cfg=None,  # DecoderConfig override (tiny checkpoint drills)
+    vq_cfg=None,  # VQConfig override, same purpose
+    image_seq_length: int = 1024,  # tokens per image (32x32 latents)
 ) -> LoadedModel:
     """HF-Chameleon / Anole-7b: fixed 1024-token images after <boi>
     (scheduler/jacobi_iteration_anhole.py). The VQ decoder shares the
@@ -694,9 +714,11 @@ def load_anole(
         text_top_k=text_top_k, scheme=scheme, init=init,
         multimodal_generation_mode=multimodal_generation_mode,
         act_quant=_act_quant_of(quantize),
+        model_cfg=model_cfg, image_seq_length=image_seq_length,
     )
     params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
-    vq_cfg = CHAMELEON_VQ
+    if vq_cfg is None:
+        vq_cfg = CHAMELEON_VQ
     if vq_ckpt:
         from sjd_tpu.utils.port import load_torch_checkpoint
 
@@ -734,12 +756,19 @@ def load_anole(
         )
         return ids, res.tokens[0, : int(res.length[0])].tolist()
 
+    import math as _math
+
+    isl = image_seq_length
+    side = _math.isqrt(isl)
+    assert side * side == isl, "image_seq_length must be a square grid"
+
     def _decode_image_span(toks, start):
-        """1024-token image span -> pixels (decode_image_tokens trim,
-        reference jacobi_iteration_anhole.py:290-316)."""
-        grid = np.asarray(toks[start : start + 1024], np.int32).reshape(32, 32)
+        """image_seq_length-token image span -> pixels (decode_image_tokens
+        trim, reference jacobi_iteration_anhole.py:290-316; 1024 = 32x32)."""
+        grid = np.asarray(toks[start : start + isl], np.int32).reshape(side, side)
         grid = bpe_to_img(mapping, grid)  # reference :1606-1626
-        pixels = vq_decode(vq_params, vq_cfg, jnp.asarray(grid.reshape(1, -1)), (32, 32))
+        pixels = vq_decode(vq_params, vq_cfg, jnp.asarray(grid.reshape(1, -1)),
+                           (side, side))
         return _to_pil(np.asarray(pixels[0]))
 
     def sample_fn(prompt: str, rng_seed: int = 42):
@@ -752,7 +781,7 @@ def load_anole(
         else:  # interleaved / unrestricted: first complete image span
             rel = next(
                 (k + 1 for k, t in enumerate(gen)
-                 if t == BOI_ID and len(gen) - k > 1024), None
+                 if t == BOI_ID and len(gen) - k > isl), None
             )
             assert rel is not None, "no complete image in the generation"
             start = len(ids) + rel
@@ -760,12 +789,12 @@ def load_anole(
 
     def decode_image_fn(toks):
         """Generated token row -> PIL image: first <boi> followed by a full
-        1024-token span (pad/prompt-position agnostic, so it works on
-        left-padded StreamingBatcher rows too)."""
+        image_seq_length-token span (pad/prompt-position agnostic, so it
+        works on left-padded StreamingBatcher rows too)."""
         toks = [int(t) for t in toks]
         start = next(
             (k + 1 for k, t in enumerate(toks)
-             if t == BOI_ID and len(toks) - k > 1024), None)
+             if t == BOI_ID and len(toks) - k > isl), None)
         assert start is not None, "no complete image in the generation"
         return _decode_image_span(toks, start)
 

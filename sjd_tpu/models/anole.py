@@ -39,7 +39,8 @@ def normalize_mode(mode: str) -> str:
 
 
 def anole_grammar(
-    mode: str = "image-only", *, max_len: int = 0
+    mode: str = "image-only", *, max_len: int = 0,
+    image_seq_length: int = IMAGE_SEQ_LENGTH,
 ) -> GrammarSpec:
     """Grammar spec per multimodal_generation_mode (reference
     jacobi_iteration_anhole.py:170-262)."""
@@ -50,13 +51,13 @@ def anole_grammar(
         image_end_id=EOI_ID,
         image_vocab_start=IMAGE_VOCAB_START,
         image_vocab_end=IMAGE_VOCAB_END,
-        image_seq_length=IMAGE_SEQ_LENGTH,
+        image_seq_length=image_seq_length,
         eos_id=EOS_ID,
         mode=mode,
         # SuppressTokensInIndexRange on <boi> from
         # max_length - image_seq_length - 1 (reference :218-224)
         boi_suppress_from=(
-            max_len - IMAGE_SEQ_LENGTH - 1
+            max_len - image_seq_length - 1
             if max_len and mode in ("image-only", "interleaved")
             else -1
         ),
@@ -81,8 +82,11 @@ def anole_engine(
     greedy: bool = False,
     multimodal_generation_mode: str = "image-only",
     act_quant: str = "bf16",
+    model_cfg=None,  # override the 7B config (tiny checkpoint drills)
+    image_seq_length: int = IMAGE_SEQ_LENGTH,  # tokens per image; 1024 =
+    # the reference's 32x32 grid (anole/modeling_chameleon.py:1529-1531)
 ) -> SJDEngine:
-    cfg = chameleon_config("7B", dtype)
+    cfg = model_cfg if model_cfg is not None else chameleon_config("7B", dtype)
     if act_quant != "bf16":
         import dataclasses
 
@@ -91,7 +95,7 @@ def anole_engine(
         # tests/test_quant_fidelity.py)
         cfg = dataclasses.replace(cfg, act_quant=act_quant)
     if not max_len:
-        max_len = IMAGE_SEQ_LENGTH + 128
+        max_len = image_seq_length + 128
     # max_len budgets GENERATED tokens only; the rope table must cover
     # prompt + generation, so size from the model's real context limit
     model = decoder_model_fns(
@@ -101,7 +105,7 @@ def anole_engine(
     econfig = EngineConfig(
         window=window,
         interval_l=1,
-        interval_r=IMAGE_SEQ_LENGTH + 1,
+        interval_r=image_seq_length + 1,
         scheme=scheme,
         init=init,
         max_len=max_len,
@@ -119,8 +123,10 @@ def anole_engine(
     )
     engine = SJDEngine(
         model, econfig,
-        anole_grammar(multimodal_generation_mode, max_len=max_len),
+        anole_grammar(multimodal_generation_mode, max_len=max_len,
+                      image_seq_length=image_seq_length),
         sampling,
     )
     engine.model_cfg = cfg
+    engine.image_seq_length = image_seq_length
     return engine

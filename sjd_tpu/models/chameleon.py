@@ -110,8 +110,11 @@ def lumina_engine(
     greedy: bool = False,
     kv_quant: bool = True,
     act_quant: str = "bf16",
+    model_cfg: DecoderConfig | None = None,  # override the size registry —
+    # tiny-config checkpoint drills (tests/test_checkpoint_drill.py) and
+    # custom variants; vocab layout must keep the FlexAR token ids
 ) -> SJDEngine:
-    cfg = chameleon_config(size, dtype)
+    cfg = model_cfg if model_cfg is not None else chameleon_config(size, dtype)
     if kv_quant:
         cfg = dataclasses.replace(cfg, kv_quant=True)
     if act_quant != "bf16":

@@ -103,10 +103,12 @@ def emu3_engine(
     dtype=jnp.bfloat16,
     greedy: bool = False,
     act_quant: str = "bf16",
+    model_cfg: DecoderConfig | None = None,  # override the 8B config —
+    # tiny-config checkpoint drills; vocab layout must keep the Emu3 ids
 ) -> SJDEngine:
     if not max_len:
         max_len = h * (w + 1) + 128
-    cfg = emu3_config(dtype)
+    cfg = model_cfg if model_cfg is not None else emu3_config(dtype)
     if act_quant != "bf16":
         import dataclasses
 

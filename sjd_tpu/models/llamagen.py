@@ -150,10 +150,16 @@ def llamagen_engine(
     dtype=jnp.bfloat16,
     greedy: bool = False,
     act_quant: str = "bf16",
+    model_cfg: DecoderConfig | None = None,  # override the GPT size
+    # registry (tiny checkpoint drills); rope_2d_grid_side must match
+    # latent_size and rope_2d_cls_len must match cls_token_num
 ) -> SJDEngine:
     block = latent_size * latent_size
-    cfg = llamagen_config(name, block_size=block, cls_token_num=cls_token_num,
-                          dtype=dtype)
+    cfg = (
+        model_cfg if model_cfg is not None
+        else llamagen_config(name, block_size=block,
+                             cls_token_num=cls_token_num, dtype=dtype)
+    )
     if act_quant != "bf16":
         import dataclasses
 

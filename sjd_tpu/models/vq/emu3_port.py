@@ -186,15 +186,22 @@ def port_emu3_vq(sd: Mapping[str, np.ndarray], cfg: Emu3VQConfig) -> Dict:
 
 
 def init_emu3_vq_params(seed: int, cfg: Emu3VQConfig) -> Dict:
-    """Random-init Emu3VisionVQ params with the exact checkpoint structure.
+    """Random-init Emu3VisionVQ params with the exact checkpoint structure:
+    a synthetic torch-layout state dict (:func:`synth_emu3_vq_state_dict`)
+    routed through :func:`port_emu3_vq`, so the ported and random-init
+    pytrees are structurally identical by construction. This keeps the Emu3
+    pipeline drivable checkpoint-free (VQ-noise images) like the other
+    families."""
+    return port_emu3_vq(synth_emu3_vq_state_dict(seed, cfg), cfg)
 
-    Builds a synthetic torch-layout state dict following the reference
-    module's construction rules (emu3/tokenizer/modeling_emu3visionvq.py:
-    encoder :476-556, decoder :598-681, quant convs :759-760) and routes it
-    through :func:`port_emu3_vq`, so the ported and random-init pytrees are
-    structurally identical by construction. This keeps the Emu3 pipeline
-    drivable checkpoint-free (VQ-noise images) like the other families.
-    """
+
+def synth_emu3_vq_state_dict(seed: int, cfg: Emu3VQConfig) -> Dict:
+    """Synthetic torch-layout Emu3VisionVQ state dict following the
+    reference module's construction rules (emu3/tokenizer/
+    modeling_emu3visionvq.py: encoder :476-556, decoder :598-681, quant
+    convs :759-760). Used by random init above and by the on-disk
+    checkpoint drill (tests/test_checkpoint_drill.py), which writes it to
+    real checkpoint files and drives the loaders' ckpt paths end-to-end."""
     rs = np.random.RandomState(seed)
     sd: Dict[str, np.ndarray] = {}
 
@@ -309,4 +316,4 @@ def init_emu3_vq_params(seed: int, cfg: Emu3VQConfig) -> Dict:
     )
     conv3d("quant_conv.conv", zq, z, 3, 1, 1)
     conv3d("post_quant_conv.conv", z, zq, 3, 1, 1)
-    return port_emu3_vq(sd, cfg)
+    return sd

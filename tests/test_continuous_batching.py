@@ -1,7 +1,8 @@
 """Continuous batching (VERDICT r2 weak #4): SJDEngine.refill re-arms
 finished slots from a prompt queue between resume() chunks, while every
-live slot's trajectory — including the shared rng stream — stays
-bit-exact vs a no-refill run."""
+live slot's trajectory — including its own per-slot rng stream — stays
+bit-exact vs a no-refill run. Per-request seed reproducibility
+(VERDICT r3 #2) is pinned at the bottom of this file."""
 
 import numpy as np
 import pytest
@@ -393,6 +394,72 @@ def test_streaming_batcher_short_prompt_padding():
         assert toks[i + 2] == 50
         i += 3
     assert toks[i] == 49
+
+
+def test_streaming_batcher_seed_reproducible_across_interleavings():
+    """submit(prompt, seed=s) yields bit-identical tokens under two
+    different co-scheduling interleavings (VERDICT r3 #2): the engine
+    carries per-slot rng streams seeded from each request's own seed at
+    admission — fresh batch or mid-flight refill — so a request's
+    trajectory is a function of (prompt, seed) alone, matching the
+    reference's per-run generator (jacobi_iteration_lumina_mgpt.py:
+    1021-1023) without giving up batching."""
+    from sjd_tpu.core.serving import StreamingBatcher
+
+    params = tiny_params()
+    eng = grammar_engine()
+
+    def run_interleaving(order):
+        sb = StreamingBatcher(eng, params, batch=2, chunk_steps=4,
+                              prompt_width=5)
+        handles = {}
+        for size_tok, seed in order:
+            handles[(size_tok, seed)] = sb.submit(
+                grid_prompt(size_tok), seed=seed)
+        results = {k: h.wait(timeout=180) for k, h in handles.items()}
+        sb.close()
+        return {k: np.asarray(r.tokens) for k, r in results.items()}
+
+    # interleaving A: the tracked requests arrive together
+    a = run_interleaving([(54, 7), (53, 11), (54, 5), (53, 3)])
+    # interleaving B: same (prompt, seed) requests in a different arrival
+    # order, co-scheduled with different companions — some join a fresh
+    # batch, some are admitted by refill
+    b = run_interleaving([(53, 99), (54, 7), (53, 3), (54, 42), (53, 11)])
+    for key in ((54, 7), (53, 11), (53, 3)):
+        np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_continuous_batcher_per_prompt_seeds():
+    """ContinuousBatcher.run(seeds=[...]): prompt i's output is a function
+    of (prompts[i], seeds[i]) alone — identical across batch sizes (so a
+    resumed or re-sharded benchmark run regenerates identical images)."""
+    params = tiny_params()
+    eng = grammar_engine()
+    sizes = [53, 54, 53, 54, 53]
+    prompts = np.asarray([grid_prompt(s) for s in sizes], np.int32)
+    seeds = [11, 22, 33, 44, 55]
+
+    batcher = ContinuousBatcher(eng, params, chunk_steps=8)
+    got2 = batcher.run(jax.random.PRNGKey(0), prompts, batch=2, seeds=seeds)
+    got3 = batcher.run(jax.random.PRNGKey(9), prompts, batch=3, seeds=seeds)
+    for c2, c3 in zip(got2, got3):
+        assert c2.prompt_index == c3.prompt_index
+        np.testing.assert_array_equal(c2.tokens, c3.tokens)
+
+
+def test_generate_per_slot_keys_match_single_key_split():
+    """generate(rng=[B,2] keys) with keys == split(key, B) reproduces
+    generate(rng=key) exactly — the [B,2] form is the same computation with
+    the split done by the caller."""
+    params = tiny_params()
+    eng = grammar_engine()
+    prompts = jnp.asarray([grid_prompt(53), grid_prompt(54)], jnp.int32)
+    key = jax.random.PRNGKey(5)
+    a = eng.generate(params, key, prompts)
+    b = eng.generate(params, jax.random.split(key, 2), prompts)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(a.length), np.asarray(b.length))
 
 
 def test_streaming_batcher_embedding_mode():
