@@ -75,10 +75,14 @@ def bench_emu3():
     # no-op on random weights (no outlier columns). Real-checkpoint loading
     # quantizes host-side ported arrays where the fold costs nothing.
     bits = 4 if quant_env in ("4", "w4a8") else 8
+    # BENCH_EMBED_BITS=8: int8 per-row embedding table (embed_lookup) — the
+    # capacity lever for the 184k-vocab embed (~1.45 GB -> 0.73 GB), freeing
+    # slot HBM in the continuous-batching sweep (VERDICT r3 #4)
+    embed_bits = int(os.environ.get("BENCH_EMBED_BITS", "0")) or None
     params = jax.jit(
         lambda k: quantize_weights(
             init_params(k, cfg), bits=bits, head_bits=8, config=cfg,
-            equilibrate=False,
+            equilibrate=False, embed_bits=embed_bits,
         )
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
@@ -209,6 +213,187 @@ def bench_emu3():
     )
 
 
+def bench_llamagen():
+    """LlamaGen rows (VERDICT r3 #3): GPT-XL 256px (16x16 latents, 256
+    tokens) under SJD vs plain AR decoding on the same chip. The reference
+    has no published A100 latency for LlamaGen, so vs_baseline is the
+    measured AR-on-this-chip latency — the reference's own headline metric
+    (steps + wall-clock vs AR, test_llamagen.py flow). BENCH_LLAMAGEN_MODE:
+    t2i (default; 120-token caption prefix from stand-in T5 features, the
+    reference's precomputed-embedding path) or c2i (single class token)."""
+    _enable_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from sjd_tpu.models import init_params
+    from sjd_tpu.models.llamagen import (
+        embed_caption,
+        embed_class,
+        embed_uncond_caption,
+        embed_uncond_class,
+        init_cond_params,
+        llamagen_engine,
+    )
+
+    name = os.environ.get("BENCH_GPT", "GPT-XL")
+    mode = os.environ.get("BENCH_LLAMAGEN_MODE", "t2i")
+    cls_n = 120 if mode == "t2i" else 1
+    latent = 16  # 256px / VQ-16
+    block = latent * latent
+
+    def build(window):
+        eng = llamagen_engine(
+            name=name, latent_size=latent, cls_token_num=cls_n,
+            window=window, guidance_scale=7.5, image_top_k=1000,
+        )
+        return eng
+
+    eng = build(int(os.environ.get("BENCH_WINDOW", "16")))
+    cfg = eng.model_cfg
+    params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
+    cond = init_cond_params(jax.random.PRNGKey(1), cfg, model_type=mode)
+    jax.block_until_ready(params)
+
+    if mode == "t2i":
+        feats = jax.random.normal(
+            jax.random.PRNGKey(2), (1, cls_n, 2048), jnp.float32)
+        pe = embed_caption(cond, feats, cfg.dtype)
+        ne = embed_uncond_caption(cond, 1, cfg.dtype)
+    else:
+        pe = embed_class(cond, jnp.asarray([207], jnp.int32), cfg.dtype)
+        ne = embed_uncond_class(cond, 1, cfg.dtype)
+
+    def run(engine, seed):
+        import numpy as _np
+
+        res = engine.generate(params, jax.random.PRNGKey(seed),
+                              prompt_embeds=pe, neg_prompt_embeds=ne)
+        _np.asarray(res.tokens)  # true completion barrier (tunnel)
+        return res
+
+    t0 = time.time()
+    run(eng, 0)
+    compile_and_run = time.time() - t0
+    t0 = time.time()
+    res = run(eng, 1)
+    latency = time.time() - t0
+    nfe, gen = int(res.nfe), int(res.gen_count[0])
+
+    # AR baseline on the same chip: window=1 (one token per forward)
+    eng_ar = build(1)
+    run(eng_ar, 0)
+    t0 = time.time()
+    res_ar = run(eng_ar, 1)
+    ar_latency = time.time() - t0
+    ar_nfe = int(res_ar.nfe)
+
+    print(json.dumps({
+        "metric": (
+            f"LlamaGen {name} 256px {mode} ({block} tokens) SJD end-to-end "
+            "latency (CFG 7.5, window 16, bf16)"
+        ),
+        "value": round(latency, 2),
+        "unit": "s",
+        "vs_baseline": round(ar_latency / latency, 3),
+        "nfe": nfe,
+        "tokens_generated": gen,
+        "step_reduction_vs_ar": round(ar_nfe / max(nfe, 1), 3),
+        "ms_per_forward": round(1000 * latency / max(nfe, 1), 2),
+        "ar_latency_s": round(ar_latency, 2),
+        "ar_nfe": ar_nfe,
+        "compile_s": round(compile_and_run - latency, 1),
+        "baseline": (
+            "AR decoding on the same TPU chip (no A100 LlamaGen latency "
+            "is published for the reference)"
+        ),
+    }))
+
+
+def bench_anole():
+    """Anole-7b row (VERDICT r3 #3): image-only generation (fixed
+    1024-token 32x32 image after <boi>) under SJD vs plain AR on the same
+    chip, int4 W4A16 weights like the Lumina flagship. No A100 baseline
+    exists for the reference's anole flow, so vs_baseline is AR-on-chip."""
+    _enable_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from sjd_tpu.models import init_params
+    from sjd_tpu.models.anole import BOI_ID, anole_engine
+    from sjd_tpu.models.transformer import quantize_weights
+
+    quant_env = os.environ.get("BENCH_QUANT", "4")
+
+    def build(window):
+        return anole_engine(
+            window=window, guidance_scale=7.0, image_top_k=2000,
+            act_quant="int8" if quant_env == "w4a8" else "bf16",
+        )
+
+    eng = build(int(os.environ.get("BENCH_WINDOW", "16")))
+    cfg = eng.model_cfg
+    bits = 4 if quant_env in ("4", "w4a8") else 8
+    if quant_env != "0":
+        params = jax.jit(
+            lambda k: quantize_weights(
+                init_params(k, cfg), bits=bits, head_bits=8, config=cfg,
+                equilibrate=False,
+            )
+        )(jax.random.PRNGKey(0))
+    else:
+        params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    prompt = jnp.asarray(
+        [list(range(9000, 9014)) + [BOI_ID]], jnp.int32)
+
+    def run(engine, seed):
+        import numpy as _np
+
+        res = engine.generate(params, jax.random.PRNGKey(seed), prompt)
+        _np.asarray(res.tokens)
+        return res
+
+    t0 = time.time()
+    run(eng, 0)
+    compile_and_run = time.time() - t0
+    t0 = time.time()
+    res = run(eng, 1)
+    latency = time.time() - t0
+    nfe, gen = int(res.nfe), int(res.gen_count[0])
+
+    eng_ar = build(1)
+    run(eng_ar, 0)
+    t0 = time.time()
+    res_ar = run(eng_ar, 1)
+    ar_latency = time.time() - t0
+    ar_nfe = int(res_ar.nfe)
+
+    print(json.dumps({
+        "metric": (
+            "Anole-7b image-only (1024-token 32x32 image) SJD end-to-end "
+            "latency (CFG 7.0, window 16"
+            + (", int4 W4A16 (int8 head)" if bits == 4 and quant_env != "0"
+               else ", int8 W8A16" if quant_env != "0" else ", bf16")
+            + ")"
+        ),
+        "value": round(latency, 2),
+        "unit": "s",
+        "vs_baseline": round(ar_latency / latency, 3),
+        "nfe": nfe,
+        "tokens_generated": gen,
+        "step_reduction_vs_ar": round(ar_nfe / max(nfe, 1), 3),
+        "ms_per_forward": round(1000 * latency / max(nfe, 1), 2),
+        "ar_latency_s": round(ar_latency, 2),
+        "ar_nfe": ar_nfe,
+        "compile_s": round(compile_and_run - latency, 1),
+        "baseline": (
+            "AR decoding on the same TPU chip (no A100 anole latency is "
+            "published for the reference)"
+        ),
+    }))
+
+
 def bench_lumina(serving: bool = False):
     """serving=True runs the continuous-batching throughput row at its tuned
     configuration (20 prompts / 5 slots / chunk 192 / W4A8 — the measured
@@ -261,6 +446,7 @@ def bench_lumina(serving: bool = False):
     quant = quant_env != "0"
     bits = 4 if quant_env in ("4", "w4a8") else 8
     head_bits = int(os.environ.get("BENCH_HEAD_BITS", "8"))
+    embed_bits = int(os.environ.get("BENCH_EMBED_BITS", "0")) or None
     if quant:
         # Quantized-weight serving mode (W8A16/W4A16; see DecoderConfig
         # .act_quant and quantize_weights). Fused with init so bf16 and
@@ -270,7 +456,8 @@ def bench_lumina(serving: bool = False):
         from sjd_tpu.models.transformer import quantize_weights
 
         qw = functools.partial(
-            quantize_weights, bits=bits, head_bits=head_bits, config=cfg
+            quantize_weights, bits=bits, head_bits=head_bits, config=cfg,
+            embed_bits=embed_bits,
         )
         params = jax.jit(lambda k: qw(init_params(k, cfg)))(
             jax.random.PRNGKey(0)
@@ -438,6 +625,12 @@ def main():
         bench_lumina()
     elif which == "emu3":
         bench_emu3()
+    elif which == "llamagen":
+        # env-gated out of the default driver run (time budget); measured
+        # rows are recorded in README + PERF_NOTES (VERDICT r3 #3)
+        bench_llamagen()
+    elif which == "anole":
+        bench_anole()
     else:
         bench_emu3()
         gc.collect()  # free the 8B params + 720p KV before the 7B build

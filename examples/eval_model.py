@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--max-prompts", type=int, default=0)
     ap.add_argument("--fid-reference-dir", default=None)
+    ap.add_argument("--inception-ckpt", default=None,
+                    help="torch InceptionV3 checkpoint (torchvision or "
+                    "pytorch_fid FID weights) for calibrated FID via the "
+                    "native port (sjd_tpu/eval/inception.py)")
     ap.add_argument("--smoke-extractor", action="store_true",
                     help="score with checkpoint-free pixel-statistic "
                          "extractors (pipeline smoke only — NOT comparable "
@@ -126,7 +130,14 @@ def main():
         from sjd_tpu.eval import evaluate_quantitative_scores
 
         kw = {}
-        if args.smoke_extractor:
+        if args.inception_ckpt:
+            from sjd_tpu.eval.inception import (
+                make_inception_extractor_from_ckpt,
+            )
+
+            kw = dict(feature_fn=make_inception_extractor_from_ckpt(
+                args.inception_ckpt))
+        elif args.smoke_extractor:
             from sjd_tpu.eval.metrics import (
                 make_pixel_extractor,
                 make_pixel_probs,

@@ -41,6 +41,9 @@ def main():
                     help="center-resize to this square size")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--smoke-extractor", action="store_true")
+    ap.add_argument("--inception-ckpt", default=None,
+                    help="torch InceptionV3 checkpoint for calibrated rFID "
+                    "via the native port (sjd_tpu/eval/inception.py)")
     args = ap.parse_args()
 
     from sjd_tpu.utils.compile_cache import enable_persistent_cache
@@ -132,7 +135,11 @@ def main():
             Image.fromarray(arr).save(os.path.join(args.out, f"{i}.png"))
 
     # --- metrics ---------------------------------------------------------
-    if args.smoke_extractor:
+    if args.inception_ckpt:
+        from sjd_tpu.eval.inception import make_inception_extractor_from_ckpt
+
+        feature_fn = make_inception_extractor_from_ckpt(args.inception_ckpt)
+    elif args.smoke_extractor:
         feature_fn = make_pixel_extractor()
     else:
         try:

@@ -16,6 +16,12 @@ SPMD program, partitioned buffers, and collectives, timeshared on the host
 
     python examples/tp_decode_34b.py [--max-len 12] [--window 4]
 
+`--layers N` is the cheap-repro mode: N real-WIDTH layers (8192d, 64H/8KV,
+full 65536 vocab, swin-norm — every per-layer sharding identical to the
+48-layer run) so the execution claim re-demonstrates in minutes on a
+1-core host; the full 48-layer run takes hours there. The committed
+artifacts live in ARTIFACTS/ (tp34b_2layer.json, tp34b_full.json).
+
 Prints one JSON line with the generated span and NFE.
 """
 
@@ -33,6 +39,9 @@ def main():
     ap.add_argument("--max-len", type=int, default=12)
     ap.add_argument("--window", type=int, default=4)
     ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--layers", type=int, default=0,
+                    help="cheap-repro: override the layer count (0 = the "
+                    "real 48); width/heads/vocab/sharding stay 34B-real")
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -56,9 +65,19 @@ def main():
     )
     from sjd_tpu.parallel import decoder_param_specs, make_mesh
 
+    model_cfg = None
+    if args.layers:
+        import dataclasses
+
+        from sjd_tpu.models.chameleon import chameleon_config
+
+        model_cfg = dataclasses.replace(
+            chameleon_config("34B"), num_layers=args.layers
+        )
     eng = lumina_engine(
         size="34B", target_size=512, window=args.window,
         max_len=args.max_len, kv_quant=False, guidance_scale=1.0,
+        model_cfg=model_cfg,
     )
     # greedy + no CFG keeps the virtual-mesh run to one forward per step
     # at the smallest batch; the SJD acceptance path still runs in full
@@ -92,7 +111,13 @@ def main():
 
     n_shards = len(jax.tree_util.tree_leaves(params)[3].addressable_shards)
     print(json.dumps({
-        "config": "Chameleon-34B 48L/8192d/64H-8KV swin-norm (real shapes)",
+        "config": (
+            "Chameleon-34B 48L/8192d/64H-8KV swin-norm (real shapes)"
+            if not args.layers else
+            f"Chameleon-34B width, {args.layers}L cheap-repro "
+            "(8192d/64H-8KV swin-norm, full vocab; per-layer sharding "
+            "identical to the 48L run)"
+        ),
         "tp": args.devices,
         "param_shards_per_leaf": n_shards,
         "init_s": round(t_init, 1),

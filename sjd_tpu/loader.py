@@ -91,7 +91,7 @@ def _act_quant_of(quantize) -> str:
     return "int8" if quantize in ("w4a8", "int4_a8") else "bf16"
 
 
-def _build_decoder_params(model_cfg, ckpt_dir, quantize):
+def _build_decoder_params(model_cfg, ckpt_dir, quantize, embed_bits=None):
     """Port (or random-init) decoder params, optionally with quantized
     weights. ``quantize``: False = bf16; True or 8 = int8 W8A16 (the serving
     default; DecoderConfig.act_quant); 4 or "int4" = packed int4 W4A16 with
@@ -108,7 +108,8 @@ def _build_decoder_params(model_cfg, ckpt_dir, quantize):
 
         params = port_hf_llama_like(_load_sharded_state(ckpt_dir), model_cfg)
         if quantize:
-            params = quantize_ported_params(params, model_cfg, quantize)
+            params = quantize_ported_params(params, model_cfg, quantize,
+                                            embed_bits=embed_bits)
         return params
     if quantize:
         # random-init path: skip int4 equilibration — it is a no-op on
@@ -121,7 +122,8 @@ def _build_decoder_params(model_cfg, ckpt_dir, quantize):
 
         bits = 4 if quantize in _INT4_OPTS else 8
         quant = functools.partial(
-            quantize_weights, bits=bits, head_bits=8, config=model_cfg
+            quantize_weights, bits=bits, head_bits=8, config=model_cfg,
+            embed_bits=embed_bits,
         )
         return jax.jit(
             lambda k: quant(init_params(k, model_cfg), equilibrate=False)
@@ -129,7 +131,8 @@ def _build_decoder_params(model_cfg, ckpt_dir, quantize):
     return jax.jit(lambda k: init_params(k, model_cfg))(jax.random.PRNGKey(0))
 
 
-def quantize_ported_params(params: PyTree, model_cfg, quantize) -> PyTree:
+def quantize_ported_params(params: PyTree, model_cfg, quantize,
+                           embed_bits=None) -> PyTree:
     """Quantize a ported (checkpoint) pytree for serving.
 
     ``quantize``: True/8 = int8 W8A16, 4/"int4" = packed int4 W4A16 with an
@@ -150,7 +153,8 @@ def quantize_ported_params(params: PyTree, model_cfg, quantize) -> PyTree:
 
     bits = 4 if quantize in _INT4_OPTS else 8
     quant = functools.partial(
-        quantize_weights, bits=bits, head_bits=8, config=model_cfg
+        quantize_weights, bits=bits, head_bits=8, config=model_cfg,
+        embed_bits=embed_bits,
     )
     try:
         cpu = jax.local_devices(backend="cpu")
@@ -194,6 +198,8 @@ def load_lumina_mgpt(
     seed: int = 42,
     tokenizer=None,
     quantize: bool = False,
+    embed_bits: Optional[int] = None,  # 8 = int8 per-row embedding table
+    # (halves the at-rest embed HBM; see transformer.embed_lookup)
     vq_dtype=None,  # e.g. jnp.bfloat16: halves VQ-decode activation HBM —
     # the batched-serving setting (demo_server --slots > 1), where the
     # decoder's 768px fp32 transients (~1 GB) OOM next to a full slot batch
@@ -222,7 +228,8 @@ def load_lumina_mgpt(
         act_quant=_act_quant_of(quantize),
         model_cfg=model_cfg,
     )
-    params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
+    params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize,
+                                   embed_bits=embed_bits)
 
     if vq_cfg is None:
         vq_cfg = CHAMELEON_VQ
@@ -345,6 +352,8 @@ def load_emu3(
     negative_prompt: Optional[str] = None,
     positive_suffix: Optional[str] = None,
     quantize: bool = True,  # the 8B only fits one 16GB chip with int8 weights
+    embed_bits: Optional[int] = None,  # 8 = int8 per-row embedding table —
+    # the 184k-vocab bf16 embed is ~1.45 GB; int8 frees ~0.7 GB of slot HBM
     vq_dtype=None,  # e.g. jnp.bfloat16 for batched serving (halves VQ HBM)
     model_cfg=None,  # DecoderConfig override (tiny checkpoint drills) —
     # must keep the Emu3 vocab layout (visual block, special ids)
@@ -377,7 +386,8 @@ def load_emu3(
         act_quant=_act_quant_of(quantize),
         model_cfg=model_cfg,
     )
-    params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
+    params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize,
+                                   embed_bits=embed_bits)
     if vq_cfg is None:
         vq_cfg = EMU3_VQ
     if vq_dtype is not None:
@@ -562,6 +572,7 @@ def load_llamagen(
     init: str = "random",
     t5_dir: Optional[str] = None,
     quantize=False,
+    embed_bits: Optional[int] = None,
     model_cfg=None,  # DecoderConfig override (tiny checkpoint drills);
     # rope_2d_grid_side must match latent_size
     vq_cfg=None,  # VQConfig override, same purpose
@@ -591,9 +602,11 @@ def load_llamagen(
 
         params, cond = port_llamagen(load_torch_checkpoint(gpt_ckpt), eng.model_cfg)
         if quantize:
-            params = quantize_ported_params(params, eng.model_cfg, quantize)
+            params = quantize_ported_params(params, eng.model_cfg, quantize,
+                                            embed_bits=embed_bits)
     else:
-        params = _build_decoder_params(eng.model_cfg, None, quantize)
+        params = _build_decoder_params(eng.model_cfg, None, quantize,
+                                       embed_bits=embed_bits)
         cond = init_cond_params(jax.random.PRNGKey(1), eng.model_cfg,
                                 model_type=model_type)
     if vq_cfg is None:
@@ -686,6 +699,7 @@ def load_anole(
     multimodal_generation_mode: str = "image-only",
     tokenizer=None,
     quantize: bool = False,
+    embed_bits: Optional[int] = None,
     model_cfg=None,  # DecoderConfig override (tiny checkpoint drills)
     vq_cfg=None,  # VQConfig override, same purpose
     image_seq_length: int = 1024,  # tokens per image (32x32 latents)
@@ -716,7 +730,8 @@ def load_anole(
         act_quant=_act_quant_of(quantize),
         model_cfg=model_cfg, image_seq_length=image_seq_length,
     )
-    params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize)
+    params = _build_decoder_params(eng.model_cfg, ckpt_dir, quantize,
+                                   embed_bits=embed_bits)
     if vq_cfg is None:
         vq_cfg = CHAMELEON_VQ
     if vq_ckpt:

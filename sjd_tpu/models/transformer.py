@@ -365,6 +365,23 @@ def unpack_int4_params(params: PyTree) -> PyTree:
     return jax.tree.map(unp, params, is_leaf=is_q)
 
 
+def embed_lookup(params: PyTree, ids: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Embedding-table gather, bf16 or int8-quantized.
+
+    quantize_weights(embed_bits=8) stores the table as {"q": int8 [V, D],
+    "s": bf16 [V]} (per-ROW scale — each vocab row quantizes against its own
+    max, so the gather dequantizes exactly the rows it reads). This is a
+    CAPACITY lever, not a bandwidth one: a decode step gathers only W rows,
+    but the at-rest table halves (Emu3's 184k x 4096 bf16 = 1.45 GB ->
+    0.73 GB), which is what frees the next serving slot (PERF_NOTES slot
+    budget; VERDICT r3 #4)."""
+    e = params["embed"]
+    if isinstance(e, dict):
+        rows = e["q"][ids].astype(jnp.float32)
+        return (rows * e["s"][ids].astype(jnp.float32)[..., None]).astype(dtype)
+    return e[ids].astype(dtype)
+
+
 def linear_multi(x: jnp.ndarray, ws, act_quant: str = "bf16"):
     """Several projections of the SAME input (qkv, gate/up): the activation
     quantization chain runs once and is shared across the dots — the chain
@@ -503,10 +520,13 @@ def quantize_weights(
     params: PyTree, *, quantize_head: bool = True, bits: int = 8,
     head_bits: Optional[int] = None, equilibrate: bool = True,
     config: Optional["DecoderConfig"] = None,
+    embed_bits: Optional[int] = None,
 ) -> PyTree:
     """Symmetric intN quantization of every projection weight in a decoder
-    pytree (weights already in [layer, out, in] layout). Norm scales, qk-norm
-    affines, and the embedding table stay bf16.
+    pytree (weights already in [layer, out, in] layout). Norm scales and
+    qk-norm affines stay bf16; the embedding table stays bf16 unless
+    ``embed_bits=8`` quantizes it per row (see embed_lookup — halves the
+    at-rest table for the big-vocab models; requires untied embeddings).
 
     bits=8: {"q": int8, "s": [.., O]} per-output-channel — the W8A16
     production default.
@@ -568,6 +588,12 @@ def quantize_weights(
         # of the int4 NFE regression at negligible bandwidth cost.
         hq = quant4 if (head_bits or bits) == 4 else quant8
         out["lm_head"] = hq(params["lm_head"])
+    if embed_bits:
+        assert embed_bits == 8, "embedding quantization supports int8 only"
+        assert "lm_head" in params, (
+            "embed_bits requires untied embeddings (a tied model reads the "
+            "table as the output projection too)")
+        out["embed"] = quant8(params["embed"])  # per-row scale
     return out
 
 
@@ -824,7 +850,7 @@ def forward(
     if inputs_embeds is not None:
         h = inputs_embeds.astype(cfg.dtype)
     else:
-        h = params["embed"][ids]
+        h = embed_lookup(params, ids, cfg.dtype)
 
     rope = rope_table[positions]  # [S, T, 2, D]
     cos, sin = rope[:, :, 0, :], rope[:, :, 1, :]
@@ -1050,7 +1076,7 @@ def forward_train(
     params = unpack_int4_params(params)
     if rope_table is None:
         rope_table = make_rope_table(cfg, int(positions.max()) + 1 if positions.size else T)
-    h = params["embed"][ids]
+    h = embed_lookup(params, ids, cfg.dtype)
     rope = rope_table[positions]
     cos, sin = rope[:, :, 0, :], rope[:, :, 1, :]
     i = jnp.arange(T, dtype=jnp.int32)

@@ -155,3 +155,42 @@ def test_int4_engine_generates():
     toks = np.asarray(res.tokens)
     assert int(res.gen_count[0]) >= 29
     assert toks.max() < TINY.vocab_size and toks.min() >= 0
+
+
+def test_int8_embedding_table():
+    """embed_bits=8 (VERDICT r3 #4): per-ROW int8 embedding quantization —
+    the gather dequantizes exactly (row error bounded by the row's own
+    scale/127) and the engine generates end-to-end on a pytree with a
+    quantized embed + packed-int4 projections (the big-vocab serving
+    configuration that frees the Emu3 3rd slot)."""
+    from sjd_tpu.models.transformer import embed_lookup
+
+    params = tiny_params()
+    q = quantize_weights(params, bits=4, config=TINY, embed_bits=8)
+    assert isinstance(q["embed"], dict) and q["embed"]["q"].dtype == jnp.int8
+    ids = jnp.asarray([[0, 1, 5], [63, 7, 2]], jnp.int32)
+    a = np.asarray(embed_lookup(params, ids, jnp.float32))
+    b = np.asarray(embed_lookup(q, ids, jnp.float32))
+    # per-row bound: rounding s_row/2 = max|row|/254, plus the scale itself
+    # being stored bf16 (rel err <= 2^-9 on up-to-127 quanta)
+    rows = np.asarray(params["embed"])[np.asarray(ids)]
+    bound = np.abs(rows).max(-1, keepdims=True) * (
+        1 / 254.0 + 127.0 / 127.0 * 2.0**-9
+    ) + 1e-7
+    assert (np.abs(a - b) <= bound).all()
+
+    from helpers import make_engine
+
+    eng = make_engine(window=5, max_len=32)
+    res = eng.generate(q, jax.random.PRNGKey(0),
+                       jnp.asarray([[1, 2, 3]], jnp.int32))
+    assert int(res.gen_count[0]) >= 29
+
+
+def test_embed_bits_rejects_tied_embeddings():
+    import pytest
+
+    cfg = dataclasses.replace(TINY, tie_word_embeddings=True)
+    p = init_params(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(AssertionError):
+        quantize_weights(p, bits=8, embed_bits=8)
