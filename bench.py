@@ -86,6 +86,13 @@ def bench_emu3():
         )
     )(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    if bits == 4:
+        # s4-at-rest: one donated unpack so the packed copy is freed — the
+        # in-jit unpack otherwise keeps packed + s4 (~8 GB) live per call
+        from sjd_tpu.models.transformer import persist_int4_params
+
+        params = persist_int4_params(params)
+        jax.block_until_ready(params)
 
     ids = build_gen_prompt(list(range(2000, 2024)), h, w, lambda s: [1500, 1501])
     prompt = jnp.asarray([ids], jnp.int32)
@@ -340,6 +347,10 @@ def bench_anole():
                 equilibrate=False,
             )
         )(jax.random.PRNGKey(0))
+        if bits == 4:
+            from sjd_tpu.models.transformer import persist_int4_params
+
+            params = persist_int4_params(params)  # s4-at-rest (see bench_emu3)
     else:
         params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
@@ -462,6 +473,10 @@ def bench_lumina(serving: bool = False):
         params = jax.jit(lambda k: qw(init_params(k, cfg)))(
             jax.random.PRNGKey(0)
         )
+        if bits == 4:
+            from sjd_tpu.models.transformer import persist_int4_params
+
+            params = persist_int4_params(params)  # s4-at-rest (see bench_emu3)
     else:
         params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)

@@ -110,7 +110,7 @@ def _build_decoder_params(model_cfg, ckpt_dir, quantize, embed_bits=None):
         if quantize:
             params = quantize_ported_params(params, model_cfg, quantize,
                                             embed_bits=embed_bits)
-        return params
+        return _maybe_persist_int4(params)
     if quantize:
         # random-init path: skip int4 equilibration — it is a no-op on
         # random weights (no outlier columns) and its folds make every bf16
@@ -125,10 +125,24 @@ def _build_decoder_params(model_cfg, ckpt_dir, quantize, embed_bits=None):
             quantize_weights, bits=bits, head_bits=8, config=model_cfg,
             embed_bits=embed_bits,
         )
-        return jax.jit(
+        return _maybe_persist_int4(jax.jit(
             lambda k: quant(init_params(k, model_cfg), equilibrate=False)
-        )(jax.random.PRNGKey(0))
+        )(jax.random.PRNGKey(0)))
     return jax.jit(lambda k: init_params(k, model_cfg))(jax.random.PRNGKey(0))
+
+
+def _maybe_persist_int4(params: PyTree) -> PyTree:
+    """On a real TPU backend, unpack packed-int4 leaves ONCE (donated) so
+    the s4 arrays are the only at-rest weight copy — frees the ~3 GB (7B) /
+    ~4 GB (8B) duplicate that the in-jit unpack otherwise materializes in
+    every generate/resume call (the dominant slot-budget term; PERF_NOTES
+    round-4 "s4 at rest"). No-op for non-int4 params and off-TPU (CPU tests
+    keep exercising the packed jit-input path, which remains supported)."""
+    if jax.default_backend() != "tpu":
+        return params
+    from sjd_tpu.models.transformer import persist_int4_params
+
+    return persist_int4_params(params)
 
 
 def quantize_ported_params(params: PyTree, model_cfg, quantize,

@@ -365,6 +365,45 @@ def unpack_int4_params(params: PyTree) -> PyTree:
     return jax.tree.map(unp, params, is_leaf=is_q)
 
 
+def persist_int4_params(params: PyTree) -> PyTree:
+    """Unpack packed-int4 leaves ONCE and keep the s4 arrays as the only
+    at-rest weight copy (round-4 serving-capacity lever).
+
+    The in-jit unpack of unpack_int4_params is correct but forces HBM to
+    hold BOTH the packed input and the materialized s4 temp for the whole
+    call (~6 GB for the 7B, ~8 GB for the 8B — the "packed-and-unpacked"
+    term in the PERF_NOTES slot budgets). This helper runs the unpack in
+    its own jit with the packed buffers DONATED, so after it returns the
+    device holds only the s4 copy; generate/resume/refill then take s4
+    inputs directly (their internal unpack_int4_params is a no-op on
+    already-unpacked leaves).
+
+    s4 jit inputs trip a layout-metadata bug on the axon TPU tunnel
+    ("Recursively calling jit"); utils/subbyte_io.py diagnoses and patches
+    it — installed here before the first s4 array crosses a jit boundary.
+    Safe (and pointless) off-TPU; loaders call this only for bits=4 params.
+
+    CONSUMES its input: the packed buffers are donated, so pass-through
+    leaves of the input tree may be invalidated — always reassign
+    ``params = persist_int4_params(params)`` and drop other references.
+    """
+    import jax as _jax
+
+    from ..utils.subbyte_io import install_subbyte_layout_workaround
+
+    has_packed = any(
+        isinstance(t, dict) and "q4p" in t
+        for t in _jax.tree.leaves(
+            params,
+            is_leaf=lambda t: isinstance(t, dict) and ("q4p" in t or "q" in t),
+        )
+    )
+    if not has_packed:
+        return params
+    install_subbyte_layout_workaround()
+    return _jax.jit(unpack_int4_params, donate_argnums=0)(params)
+
+
 def embed_lookup(params: PyTree, ids: jnp.ndarray, dtype) -> jnp.ndarray:
     """Embedding-table gather, bf16 or int8-quantized.
 

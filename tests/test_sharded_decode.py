@@ -126,7 +126,7 @@ def test_chameleon_34b_tp8_decode_compiles_spmd():
     with jax.set_mesh(mesh):
         lowered = eng._generate.lower(
             structs,
-            a((2,), jnp.uint32),  # rng key (raw)
+            a((B, 2), jnp.uint32),  # per-slot rng key rows (raw)
             a((B, P), jnp.int32), a((B, P), jnp.bool_),
             a((B, 0), jnp.int32), a((B, 0), jnp.bool_),
             jax.tree_util.tree_map(

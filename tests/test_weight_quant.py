@@ -194,3 +194,51 @@ def test_embed_bits_rejects_tied_embeddings():
     p = init_params(jax.random.PRNGKey(0), cfg)
     with pytest.raises(AssertionError):
         quantize_weights(p, bits=8, embed_bits=8)
+
+
+def test_persist_int4_params_bit_matches_packed():
+    """s4-at-rest (round 4): persist_int4_params unpacks packed leaves ONCE
+    (freeing the duplicate weight copy on TPU serving — PERF_NOTES) and the
+    engine must generate BIT-IDENTICAL tokens from the persisted pytree:
+    the in-jit unpack computed exactly the same s4 values every call."""
+    from sjd_tpu.models.transformer import persist_int4_params
+
+    from helpers import make_engine
+
+    packed = quantize_weights(tiny_params(), bits=4, config=TINY)
+    eng = make_engine(window=5, max_len=32)
+    prompt = jnp.asarray([[1, 2, 3]], jnp.int32)
+    # run the packed path FIRST: persist DONATES (consumes) its input tree
+    a = eng.generate(packed, jax.random.PRNGKey(0), prompt)
+
+    persisted = persist_int4_params(packed)
+    q = persisted["layers"]["wq"]
+    assert "q4p" not in q and q["q"].dtype == jnp.int4
+    # idempotent: already-persisted trees pass through untouched
+    again = persist_int4_params(persisted)
+    assert again["layers"]["wq"]["q"] is q["q"]
+
+    b = eng.generate(persisted, jax.random.PRNGKey(0), prompt)
+    assert (np.asarray(a.tokens) == np.asarray(b.tokens)).all()
+    assert int(a.nfe) == int(b.nfe)
+
+
+def test_subbyte_layout_strippable_condition():
+    """The axon s4 jit-input workaround (utils/subbyte_io.py) strips the
+    layout constraint ONLY for the diagnosed bug signature: identical
+    major_to_minor + tiling, sub-byte metadata 0 on one side."""
+    from jax._src.layout import Layout
+
+    from sjd_tpu.utils.subbyte_io import _strippable
+
+    bug_x = Layout((0, 1, 2), ((64, 128), (8, 1)), 0)
+    expect = Layout((0, 1, 2), ((64, 128), (8, 1)), 4)
+    assert _strippable(bug_x, expect)
+    assert _strippable(expect, bug_x)
+    # equal layouts: nothing to strip
+    assert not _strippable(expect, expect)
+    # a REAL relayout (different tiling / order) must NOT be stripped
+    assert not _strippable(Layout((0, 1, 2), ((8, 128), (8, 1)), 0), expect)
+    assert not _strippable(Layout((2, 1, 0), ((64, 128), (8, 1)), 0), expect)
+    # both sides claiming real sub-byte sizes is not the bug signature
+    assert not _strippable(Layout((0, 1, 2), ((64, 128), (8, 1)), 2), expect)
