@@ -100,9 +100,11 @@ def bench_emu3():
 
     # BENCH_CONTINUOUS=N + BENCH_BATCH=B: stream N prompts through B slots
     # with refill at chunk boundaries — the Emu3 serving configuration.
-    # 2 slots are the 16 GB ceiling: 720p CFG KV (1.1 GB/slot) + the int4
-    # 8B packed+s4 (~8 GB) + the 184k-vocab bf16 embedding / int8 head
-    # (~2.3 GB); 3 slots OOM (measured, PERF_NOTES.md).
+    # 3 slots fit with BENCH_EMBED_BITS=8 (int8 embedding, -0.73 GB) now
+    # that s4-at-rest frees the packed int4 copy: measured 2.12 img/min =
+    # 18.1x the reference (PERF_NOTES.md slot sweep). Without the embedding
+    # lever the ceiling is 2 slots (720p CFG KV 1.1 GB/slot + s4 weights
+    # ~4 GB + 184k-vocab bf16 embedding / int8 head ~2.3 GB).
     stream_n = int(os.environ.get("BENCH_CONTINUOUS", "0"))
     if stream_n:
         import numpy as _np
