@@ -57,6 +57,7 @@ def build_window(
     carried_count: jnp.ndarray,  # [B]
     window: int,
     vocab_size: int,
+    grammar_seed: bool = True,
 ) -> Window:
     B = tokens.shape[0]
     W = window
@@ -131,6 +132,23 @@ def build_window(
         carried_probs[:, : W - 1, :],
         rand_probs,
     )
+
+    # ---- grammar-aware seeding ----------------------------------------------
+    # Fresh slots at grammar-FORCED offsets (<eol> at row ends, <eof>/<eoi>/
+    # <eos>/<pad> past the grid) get the forced token with a one-hot draft
+    # dist: p_new there is one-hot at the same token, so the acceptance ratio
+    # is exactly 1 — a certain accept where a random seed was a certain
+    # reject. Carried slots are untouched: their tokens were sampled from the
+    # (already forced) model dist last step, so they carry the forced token
+    # with a one-hot recorded dist anyway. See grammar.forced_token_at.
+    if grammar_seed and spec.kind != "none":
+        o_all = gstate.img_count[:, None] + d  # draft slot d -> image offset
+        forced_m, forced_id = grammar_lib.forced_token_at(spec, gstate, o_all)
+        override = forced_m & ~in_carry
+        slot_tok = jnp.where(override, forced_id, slot_tok)
+        slot_probs = jnp.where(
+            override[:, :, None], onehot_probs(forced_id, V), slot_probs
+        )
 
     x = jnp.concatenate([last_tok, slot_tok], axis=1).astype(jnp.int32)
     p_draft = jnp.concatenate([last_prob[:, None, :], slot_probs], axis=1)

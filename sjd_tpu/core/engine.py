@@ -64,6 +64,15 @@ class EngineConfig:
     pad_id: int = 0
     nfe_cap: int = 0  # 0 -> max_len (an AR upper bound)
     cfg_mode: str = "none"  # | "mask_prompt" | "neg_prompt"
+    # Pre-place grammar-forced tokens (<eol>/<eof>/<eoi>/<eos>/<pad> at their
+    # exact grid offsets) in fresh draft slots with one-hot draft dists —
+    # those slots become certain ACCEPTS (ratio = 1) instead of the certain
+    # rejects random seeds guarantee (p_new(random) = 0 at a forced offset).
+    # Output law is unchanged (speculative sampling is draft-agnostic);
+    # measured NFE drops on every grammar family. Off reproduces the
+    # reference's draft behavior bit-for-bit (its stateless init cannot see
+    # the grammar, scheduler/jacobi_iteration_lumina_mgpt.py:470-596).
+    grammar_seed: bool = True
 
     def resolved_buf_len(self, prompt_rows: int = 0) -> int:
         return self.buf_len or (self.max_len + 2 * self.window + prompt_rows)
@@ -712,6 +721,7 @@ class SJDEngine:
             carried_count=st.carried_count,
             window=Wr,
             vocab_size=V,
+            grammar_seed=cfg.grammar_seed,
         )
 
         # ---- one forward over the window (CFG: doubled batch) ----------------

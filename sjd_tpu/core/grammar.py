@@ -345,6 +345,73 @@ def apply_grammar(
     raise ValueError(f"unknown grammar kind {spec.kind!r}")
 
 
+def forced_token_at(
+    spec: GrammarSpec,
+    state: GrammarState,
+    o: jnp.ndarray,  # [B, K] image offsets (0-indexed within the image span)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Offsets where the grammar forces a single token with probability 1.
+
+    Returns (forced [B, K] bool, token_id [B, K] int32). These are exactly
+    the one-hot rows :func:`apply_grammar` produces — <eol> at row ends,
+    <eof>/<image_end>/<eos>/<pad> past the grid (Emu3,
+    emu3/mllm/utils_emu3.py:19-62), <image_end> at the grid end (Lumina,
+    scheduler/logit_processor_3dim.py:107-155) and at offset
+    image_seq_length (Anole). Used by drafts.build_window to PRE-PLACE the
+    forced token in the draft window with a one-hot draft dist: the
+    acceptance ratio p_new/p_draft there is exactly 1, so the slot is a
+    certain accept instead of the certain reject a random seed guarantees
+    (p_new(random) = 0 at a forced position). The reference could never do
+    this — its draft init has no access to the stateful processors — and
+    every reference window crossing a row boundary caps its acceptance at
+    the <eol> slot. Speculative-sampling correctness is unaffected: the
+    output law is independent of the draft distribution."""
+    B, K = o.shape
+    none_id = jnp.zeros((B, K), jnp.int32)
+    if spec.kind == "none":
+        return jnp.zeros((B, K), bool), none_id
+
+    w1 = jnp.maximum(state.w_lat[:, None] + 1, 1)
+    if spec.kind == "anole":
+        if spec.mode in ("text-only", "unrestricted"):
+            return jnp.zeros((B, K), bool), none_id
+        active = state.in_image[:, None]
+        forced = active & (o == spec.image_seq_length)
+        return forced, jnp.where(forced, spec.image_end_id, 0)
+
+    active = (state.in_image & state.size_known)[:, None]
+    end = w1 * state.h_lat[:, None]
+    if spec.kind == "lumina":
+        force_eoi = active & (o == end)
+        force_eol = active & (((o + 1) % w1) == 0) & ~force_eoi
+        forced = force_eoi | force_eol
+        tok = jnp.where(
+            force_eoi, spec.image_end_id,
+            jnp.where(force_eol, spec.newline_id, 0),
+        )
+        return forced, tok
+
+    if spec.kind == "emu3":
+        p = o + 1
+        force_eol = active & (p % w1 == 0)
+        force_eof = active & (p == end + 1)
+        force_eoi = active & (p == end + 2)
+        force_eos = active & (p == end + 3)
+        force_pad = active & (p > end + 3) & ~force_eol
+        forced = force_eol | force_eof | force_eoi | force_eos | force_pad
+        # precedence = apply_grammar's _force_rows order (eol, eof, eoi, eos,
+        # pad): the LAST applied force wins on overlap, which only happens for
+        # degenerate grids (w_lat <= 2) but must match bit-for-bit regardless
+        tok = jnp.where(force_eol, spec.newline_id, 0)
+        tok = jnp.where(force_eof, spec.eof_id, tok)
+        tok = jnp.where(force_eoi, spec.image_end_id, tok)
+        tok = jnp.where(force_eos, spec.eos_id, tok)
+        tok = jnp.where(force_pad, spec.pad_id, tok)
+        return forced, tok
+
+    raise ValueError(f"unknown grammar kind {spec.kind!r}")
+
+
 def apply_grammar_single(
     spec: GrammarSpec,
     state: GrammarState,
