@@ -386,13 +386,31 @@ def persist_int4_params(params: PyTree) -> PyTree:
     CONSUMES its input: the packed buffers are donated, so pass-through
     leaves of the input tree may be invalidated — always reassign
     ``params = persist_int4_params(params)`` and drop other references.
+
+    Memory shape of the call (round-5 verdict #6): the unpack changes dtype
+    and layout (uint8 [.., O, K/2] -> s4 [.., O, K]), so XLA can NEVER alias
+    input to output and a whole-tree donated jit (a) held every packed input
+    until the computation finished — a full 2x-weights transient — and
+    (b) printed "Some donated buffers were not usable" into headline
+    benches. Unpacking leaf-by-leaf in per-leaf donated jits bounds the
+    transient to ONE stacked leaf (~0.9 GB for the 7B) — executions
+    serialize on the device stream, each packed leaf frees when its call
+    retires, and packed/s4 bytes are equal (both 2 values/byte) so the
+    running total stays ~flat. The donation itself is still load-bearing
+    (it's what releases each packed buffer); only the cannot-alias warning
+    is expected, and is silenced here with this justification.
     """
+    import warnings as _warnings
+
     import jax as _jax
 
     from ..utils.subbyte_io import install_subbyte_layout_workaround
 
+    def is_q(t):
+        return isinstance(t, dict) and "q4p" in t
+
     has_packed = any(
-        isinstance(t, dict) and "q4p" in t
+        is_q(t)
         for t in _jax.tree.leaves(
             params,
             is_leaf=lambda t: isinstance(t, dict) and ("q4p" in t or "q" in t),
@@ -401,7 +419,22 @@ def persist_int4_params(params: PyTree) -> PyTree:
     if not has_packed:
         return params
     install_subbyte_layout_workaround()
-    return _jax.jit(unpack_int4_params, donate_argnums=0)(params)
+
+    unp = _jax.jit(
+        lambda t: {"q": unpack_int4(t["q4p"]).astype(jnp.int4), "s": t["s"]},
+        donate_argnums=0,
+    )
+
+    def walk(t):
+        if not is_q(t):
+            return t
+        with _warnings.catch_warnings():
+            _warnings.filterwarnings(
+                "ignore", message=".*donated buffers were not usable.*"
+            )
+            return unp(t)
+
+    return _jax.tree.map(walk, params, is_leaf=is_q)
 
 
 def embed_lookup(params: PyTree, ids: jnp.ndarray, dtype) -> jnp.ndarray:

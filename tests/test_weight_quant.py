@@ -223,6 +223,22 @@ def test_persist_int4_params_bit_matches_packed():
     assert int(a.nfe) == int(b.nfe)
 
 
+def test_persist_int4_emits_no_donation_warnings():
+    """Round-5 verdict #6: the headline bench must not print allocator
+    warnings. persist_int4_params' unpack changes dtype+layout, so the
+    donated packed buffers can never be aliased — that warning is expected,
+    justified in the docstring, and must be silenced AT the call."""
+    import warnings
+
+    from sjd_tpu.models.transformer import persist_int4_params
+
+    packed = quantize_weights(tiny_params(), bits=4, config=TINY)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)  # any escape -> failure
+        persisted = persist_int4_params(packed)
+    assert persisted["layers"]["wq"]["q"].dtype == jnp.int4
+
+
 def test_subbyte_layout_strippable_condition():
     """The axon s4 jit-input workaround (utils/subbyte_io.py) strips the
     layout constraint ONLY for the diagnosed bug signature: identical
