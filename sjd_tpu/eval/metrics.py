@@ -157,10 +157,22 @@ def make_clip_extractor(model_dir: str):
     return image_embeds, text_embeds
 
 
-def evaluate_clip_score(generated_dir: str, prompts, model_dir: str) -> float:
+def evaluate_clip_score(
+    generated_dir: str, prompts, model_dir: str, *, native: bool = True
+) -> float:
     """CLIPScore over a generated dir + matched prompts
-    (evaluate_quantitative_scores_text2img, evaluation_metrics.py:219-271)."""
-    image_embeds, text_embeds = make_clip_extractor(model_dir)
+    (evaluate_quantitative_scores_text2img, evaluation_metrics.py:219-271).
+
+    native=True (default) runs the from-scratch JAX towers (eval/clip.py,
+    oracle-parity-tested vs the torch CLIPModel) — torch-free from a local
+    checkpoint dir; native=False keeps the transformers-CLIPModel extractor
+    for cross-checking."""
+    if native:
+        from sjd_tpu.eval.clip import make_native_clip_extractor
+
+        image_embeds, text_embeds = make_native_clip_extractor(model_dir)
+    else:
+        image_embeds, text_embeds = make_clip_extractor(model_dir)
     imgs = load_image_dir(generated_dir, size=224)
     return clip_score(image_embeds(imgs), text_embeds(list(prompts)))
 
