@@ -38,6 +38,30 @@ BASELINE_NFE = 1115  # the reference run's forward count for that row
 EMU3_BASELINE_S = 512.6  # A100 SJD end-to-end generate (test_emu3.py:177)
 
 
+def _hist(h):
+    """accept_hist -> plain list for the JSON row (verdict r4 #4: every
+    artifact carries the acceptance-length histogram; bin k = decode steps
+    that committed exactly k tokens)."""
+    return [int(v) for v in h] if h is not None else None
+
+
+def _grammar_seed_enabled() -> bool:
+    # BENCH_GRAMMAR_SEED=0 disables grammar-aware draft seeding for A/B NFE
+    # measurement (EngineConfig.grammar_seed; on by default)
+    return os.environ.get("BENCH_GRAMMAR_SEED", "1") != "0"
+
+
+def _set_grammar_seed(eng):
+    """Apply the BENCH_GRAMMAR_SEED knob (EngineConfig is frozen; replace
+    the engine's config before the first trace)."""
+    import dataclasses
+
+    eng.config = dataclasses.replace(
+        eng.config, grammar_seed=_grammar_seed_enabled()
+    )
+    return eng
+
+
 def _enable_cache():
     # Persistent XLA compilation cache: cold compile of the decode loop is
     # ~25-70 s (and minutes under remote-compile-service congestion); a warm
@@ -67,6 +91,7 @@ def bench_emu3():
     eng = emu3_engine(h=h, w=w, window=16, guidance_scale=3.0,
                       image_top_k=2048, init=init,
                       act_quant="int8" if quant_env == "w4a8" else "bf16")
+    _set_grammar_seed(eng)
     cfg = eng.model_cfg
     # BENCH_QUANT: 4 = int4 W4A16 (default — the 8B is the most weight-bound
     # config; int8 lm_head for acceptance fidelity), 1/8 = int8 W8A16.
@@ -123,9 +148,9 @@ def bench_emu3():
             _np.int32,
         )
         all_neg = _np.asarray([ids[:4]] * stream_n, _np.int32)
+        chunk = int(os.environ.get("BENCH_CHUNK", "256"))
         batcher = ContinuousBatcher(
-            eng, params,
-            chunk_steps=int(os.environ.get("BENCH_CHUNK", "256")),
+            eng, params, chunk_steps=chunk,
             make_gstate=lambda idx: emu3_grammar_state(len(idx), h, w),
         )
         t0 = time.time()
@@ -154,12 +179,21 @@ def bench_emu3():
             "stream": stream_n,
             "slots": batch,
             "tokens_generated": gen,
+            "nfe": batcher.last_nfe,
+            "accept_hist": _hist(batcher.last_accept_hist),
             "wall_s": round(latency, 2),
             # the warmup streamed batch+1 prompts; scale its generation time
             # out of the compile estimate
             "compile_s": round(
                 compile_and_run - latency * (batch + 1) / stream_n, 1
             ),
+            # self-describing repro (ADVICE r4): every knob required to
+            # reproduce this row without consulting PERF_NOTES
+            "env": {"BENCH_QUANT": quant_env, "BENCH_EMBED_BITS": embed_bits or 0,
+                    "BENCH_CHUNK": chunk, "BENCH_EMU3_GRID": h,
+                    "BENCH_INIT": init, "BENCH_CONTINUOUS": stream_n,
+                    "BENCH_BATCH": batch,
+                    "grammar_seed": eng.config.grammar_seed},
             "baseline": (
                 f"A100+PyTorch SJD {EMU3_BASELINE_S}s/image = "
                 f"{60.0 / EMU3_BASELINE_S:.3f} img/min (BASELINE.md)"
@@ -215,7 +249,13 @@ def bench_emu3():
                 "tokens_generated": gen,
                 "step_reduction_vs_ar": round(gen / max(nfe, 1), 3),
                 "ms_per_forward": round(1000 * latency / max(nfe, 1), 1),
+                "accept_hist": _hist(res.accept_hist),
                 "compile_s": round(compile_and_run - latency, 1),
+                "env": {"BENCH_QUANT": quant_env,
+                        "BENCH_EMBED_BITS": embed_bits or 0,
+                        "BENCH_CHUNK_STEPS": chunk, "BENCH_EMU3_GRID": h,
+                        "BENCH_INIT": init,
+                        "grammar_seed": eng.config.grammar_seed},
                 "baseline": f"A100+PyTorch SJD {EMU3_BASELINE_S}s (BASELINE.md)",
             }
         )
@@ -255,7 +295,7 @@ def bench_llamagen():
             name=name, latent_size=latent, cls_token_num=cls_n,
             window=window, guidance_scale=7.5, image_top_k=1000,
         )
-        return eng
+        return _set_grammar_seed(eng)
 
     eng = build(int(os.environ.get("BENCH_WINDOW", "16")))
     cfg = eng.model_cfg
@@ -310,7 +350,11 @@ def bench_llamagen():
         "ms_per_forward": round(1000 * latency / max(nfe, 1), 2),
         "ar_latency_s": round(ar_latency, 2),
         "ar_nfe": ar_nfe,
+        "accept_hist": _hist(res.accept_hist),
         "compile_s": round(compile_and_run - latency, 1),
+        "env": {"BENCH_GPT": name, "BENCH_LLAMAGEN_MODE": mode,
+                "BENCH_WINDOW": eng.config.window,
+                "grammar_seed": eng.config.grammar_seed},
         "baseline": (
             "AR decoding on the same TPU chip (no A100 LlamaGen latency "
             "is published for the reference)"
@@ -334,10 +378,11 @@ def bench_anole():
     quant_env = os.environ.get("BENCH_QUANT", "4")
 
     def build(window):
-        return anole_engine(
+        eng = anole_engine(
             window=window, guidance_scale=7.0, image_top_k=2000,
             act_quant="int8" if quant_env == "w4a8" else "bf16",
         )
+        return _set_grammar_seed(eng)
 
     eng = build(int(os.environ.get("BENCH_WINDOW", "16")))
     cfg = eng.model_cfg
@@ -399,7 +444,11 @@ def bench_anole():
         "ms_per_forward": round(1000 * latency / max(nfe, 1), 2),
         "ar_latency_s": round(ar_latency, 2),
         "ar_nfe": ar_nfe,
+        "accept_hist": _hist(res.accept_hist),
         "compile_s": round(compile_and_run - latency, 1),
+        "env": {"BENCH_QUANT": quant_env,
+                "BENCH_WINDOW": eng.config.window,
+                "grammar_seed": eng.config.grammar_seed},
         "baseline": (
             "AR decoding on the same TPU chip (no A100 anole latency is "
             "published for the reference)"
@@ -451,6 +500,7 @@ def bench_lumina(serving: bool = False):
         # figure; with random weights no <eos> arrives to stop us earlier
         max_len=grid * (grid + 1) + 5,
     )
+    _set_grammar_seed(eng)
     cfg = eng.model_cfg
 
     # BENCH_QUANT: 4 = int4 W4A16 (default; equilibrated per-channel packed
@@ -515,13 +565,8 @@ def bench_lumina(serving: bool = False):
             ],
             _np.int32,
         )
-        batcher = ContinuousBatcher(
-            eng, params,
-            chunk_steps=(
-                192 if serving
-                else int(os.environ.get("BENCH_CHUNK", "128"))
-            ),
-        )
+        chunk = 192 if serving else int(os.environ.get("BENCH_CHUNK", "128"))
+        batcher = ContinuousBatcher(eng, params, chunk_steps=chunk)
         t0 = time.time()
         # warmup must stream MORE prompts than slots so the refill program
         # compiles here, not inside the measured run
@@ -550,10 +595,18 @@ def bench_lumina(serving: bool = False):
             "stream": stream_n,
             "slots": batch,
             "tokens_generated": gen,
+            "nfe": batcher.last_nfe,
+            "accept_hist": _hist(batcher.last_accept_hist),
             "wall_s": round(latency, 2),
             "compile_s": round(
                 compile_and_run - latency * (batch + 1) / stream_n, 1
             ),
+            "env": {"BENCH_QUANT": quant_env,
+                    "BENCH_EMBED_BITS": embed_bits or 0,
+                    "BENCH_CHUNK": chunk, "BENCH_WINDOW": window,
+                    "BENCH_INIT": init, "BENCH_CONTINUOUS": stream_n,
+                    "BENCH_BATCH": batch, "target_px": target,
+                    "grammar_seed": eng.config.grammar_seed},
             "baseline": (
                 f"A100+PyTorch SJD {BASELINE_LATENCY_S}s/image = "
                 f"{round(60.0 / BASELINE_LATENCY_S, 2)} img/min (BASELINE.md)"
@@ -618,6 +671,13 @@ def bench_lumina(serving: bool = False):
                 "images_per_min": round(60.0 * batch / latency, 2),
                 "step_reduction_vs_ar": round(ar_steps / max(nfe, 1), 3),
                 "ms_per_forward": round(ms_fwd, 1),
+                "accept_hist": _hist(res.accept_hist),
+                "env": {"BENCH_QUANT": quant_env,
+                        "BENCH_EMBED_BITS": embed_bits or 0,
+                        "BENCH_HEAD_BITS": head_bits,
+                        "BENCH_WINDOW": window, "BENCH_INIT": init,
+                        "target_px": target,
+                        "grammar_seed": eng.config.grammar_seed},
                 "latency_at_ref_nfe_s": round(at_ref_nfe, 2),
                 "vs_baseline_at_ref_nfe": round(
                     BASELINE_LATENCY_S / at_ref_nfe, 3),

@@ -74,6 +74,12 @@ class ContinuousBatcher:
         # — runs SPMD with slots distributed across chips, bit-identical to
         # the single-device batcher (tests/test_continuous_batching.py).
         self.row_sharding = row_sharding
+        # observability (round-5 verdict #4): after run() returns, the
+        # aggregate decode-step histogram by accepted length across the
+        # whole stream (engine accept_hist summed over chunks) and the
+        # total forward count — what per-completion stats can't show
+        self.last_accept_hist: Optional[np.ndarray] = None
+        self.last_nfe: int = 0
 
     def run(
         self,
@@ -184,6 +190,8 @@ class ContinuousBatcher:
                 return_state=True,
             )
 
+        self.last_accept_hist = np.asarray(state.accept_hist)
+        self.last_nfe = int(state.nfe)
         done.sort(key=lambda c: c.prompt_index)
         return done
 

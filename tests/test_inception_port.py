@@ -219,3 +219,87 @@ def test_extractor_from_ckpt_file(tmp_path):
     rs = np.random.RandomState(2)
     feats = extract(rs.rand(3, 64, 64, 3).astype(np.float32))
     assert feats.shape == (3, 2048) and np.isfinite(feats).all()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 verdict #7: de-circularize the oracle.
+#
+# The numeric oracle above builds every primitive from torch.nn itself (conv,
+# BN-eps-1e-3, pooling), so only the block WIRING is author-written. Two
+# independent anchors pin that wiring to the real torchvision graph without
+# torchvision in the image:
+#   1. the stage-by-stage shape trace published as comments in
+#      torchvision/models/inception.py's forward (any misread branch width,
+#      stride, padding or concat breaks a channel/spatial count);
+#   2. a golden-fixture seam: pool3 activations recorded ONCE from real
+#      torchvision elsewhere (examples/record_inception_golden.py), keyed to
+#      the weights file — the test runs whenever the fixture is supplied.
+# ---------------------------------------------------------------------------
+
+# torchvision/models/inception.py forward annotations ("N x C x H x W")
+TORCHVISION_SHAPE_TRACE = {
+    "Conv2d_1a_3x3": (32, 149, 149),
+    "Conv2d_2a_3x3": (32, 147, 147),
+    "Conv2d_2b_3x3": (64, 147, 147),
+    "Conv2d_3b_1x1": (80, 73, 73),
+    "Conv2d_4a_3x3": (192, 71, 71),
+    "Mixed_5b": (256, 35, 35),
+    "Mixed_5c": (288, 35, 35),
+    "Mixed_5d": (288, 35, 35),
+    "Mixed_6a": (768, 17, 17),
+    "Mixed_6b": (768, 17, 17),
+    "Mixed_6c": (768, 17, 17),
+    "Mixed_6d": (768, 17, 17),
+    "Mixed_6e": (768, 17, 17),
+    "Mixed_7a": (1280, 8, 8),
+    "Mixed_7b": (2048, 8, 8),
+    "Mixed_7c": (2048, 8, 8),
+}
+
+
+def test_trunk_shape_trace_matches_torchvision_doc():
+    net = Inception3Trunk().eval()
+    seen = {}
+
+    def hook(name):
+        def fn(_m, _i, out):
+            seen[name] = tuple(out.shape[1:])
+        return fn
+
+    for name in TORCHVISION_SHAPE_TRACE:
+        getattr(net, name).register_forward_hook(hook(name))
+    with torch.no_grad():
+        net(torch.zeros(1, 3, 299, 299))
+    assert seen == TORCHVISION_SHAPE_TRACE
+
+
+def test_pool3_against_recorded_torchvision_golden():
+    """Non-circular numeric anchor: INCEPTION_GOLDEN points at the npz
+    written by examples/record_inception_golden.py on a machine WITH
+    torchvision (pool3 for a seeded input + the weights file it used via
+    INCEPTION_CKPT). Skipped when no fixture has been recorded — the
+    in-repo oracle then covers numerics and the shape trace covers wiring."""
+    import hashlib
+    import os
+
+    golden_path = os.environ.get("INCEPTION_GOLDEN", "")
+    ckpt_path = os.environ.get("INCEPTION_CKPT", "")
+    if not (golden_path and os.path.exists(golden_path) and ckpt_path
+            and os.path.exists(ckpt_path)):
+        pytest.skip("no recorded torchvision golden fixture "
+                    "(set INCEPTION_GOLDEN + INCEPTION_CKPT; see "
+                    "examples/record_inception_golden.py)")
+    golden = np.load(golden_path)
+    with open(ckpt_path, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    assert digest == str(golden["weights_sha256"]), (
+        "fixture was recorded from different weights")
+    from sjd_tpu.utils.port import load_torch_checkpoint
+
+    params = port_inception_v3(load_torch_checkpoint(ckpt_path))
+    imgs = np.random.default_rng(
+        int(golden["input_seed"])).uniform(0, 1, (2, 299, 299, 3)).astype(
+        np.float32)
+    got = np.asarray(pool3_features(
+        params, jnp.asarray(imgs), fid_pools=bool(golden["fid_pools"])))
+    np.testing.assert_allclose(got, golden["pool3"], rtol=2e-3, atol=2e-3)
