@@ -33,6 +33,8 @@ import json
 import os
 import time
 
+from sjd_tpu.utils import compile_watch
+
 BASELINE_LATENCY_S = 47.13  # A100 SJD, "golden-haired lion" row (BASELINE.md)
 BASELINE_NFE = 1115  # the reference run's forward count for that row
 EMU3_BASELINE_S = 512.6  # A100 SJD end-to-end generate (test_emu3.py:177)
@@ -66,17 +68,41 @@ def _enable_cache():
     # Persistent XLA compilation cache: cold compile of the decode loop is
     # ~25-70 s (and minutes under remote-compile-service congestion); a warm
     # process start deserializes the executable in ~1 s. SJD_TPU_CACHE_DIR=0
-    # measures true cold compile.
+    # measures true cold compile. The compile watch meters every PJRT
+    # compile via jax.monitoring so rows report MEASURED compile seconds.
     from sjd_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    compile_watch.install()
+    return compile_watch.snapshot()
+
+
+def _compile_fields(cw0):
+    """Measured compile accounting for a bench row. Replaces the old
+    wall-clock subtraction estimate (which once "measured" a warm compile
+    as slower than cold): compile_s sums the PJRT compile wall time of every
+    program built for the row — persistent-cache hits contribute only their
+    deserialization seconds (broken out as retrieval_s) — and hit/miss
+    counts make warm-start runs distinguishable from the artifact alone
+    (VERDICT r4 #8). Includes the params init/quantize program compiles;
+    init_s (reported separately) is the wall time of running them."""
+    d = compile_watch.delta(cw0)
+    return {
+        "compile_s": round(d["backend_compile_s"], 1),
+        "trace_lower_s": round(d["trace_s"] + d["lowering_s"], 1),
+        "compile_cache": {
+            "hits": d["cache_hits"],
+            "misses": d["cache_misses"],
+            "retrieval_s": round(d["cache_retrieval_s"], 1),
+        },
+    }
 
 
 def bench_emu3():
     """Secondary benchmark: Emu3-Gen 8B 720p (90x90 grid, ~8.2k tokens).
     The 8B model only fits a single 16GB chip with int8 weights; CFG uses the padded
     negative-prompt mode. BENCH_MODEL=emu3 selects this path."""
-    _enable_cache()
+    cw0 = _enable_cache()
     import jax
     import jax.numpy as jnp
 
@@ -104,6 +130,7 @@ def bench_emu3():
     # capacity lever for the 184k-vocab embed (~1.45 GB -> 0.73 GB), freeing
     # slot HBM in the continuous-batching sweep (VERDICT r3 #4)
     embed_bits = int(os.environ.get("BENCH_EMBED_BITS", "0")) or None
+    t_init = time.time()
     params = jax.jit(
         lambda k: quantize_weights(
             init_params(k, cfg), bits=bits, head_bits=8, config=cfg,
@@ -118,6 +145,7 @@ def bench_emu3():
 
         params = persist_int4_params(params)
         jax.block_until_ready(params)
+    init_s = time.time() - t_init
 
     ids = build_gen_prompt(list(range(2000, 2024)), h, w, lambda s: [1500, 1501])
     prompt = jnp.asarray([ids], jnp.int32)
@@ -182,11 +210,9 @@ def bench_emu3():
             "nfe": batcher.last_nfe,
             "accept_hist": _hist(batcher.last_accept_hist),
             "wall_s": round(latency, 2),
-            # the warmup streamed batch+1 prompts; scale its generation time
-            # out of the compile estimate
-            "compile_s": round(
-                compile_and_run - latency * (batch + 1) / stream_n, 1
-            ),
+            "warmup_s": round(compile_and_run, 1),
+            "init_s": round(init_s, 1),
+            **_compile_fields(cw0),
             # self-describing repro (ADVICE r4): every knob required to
             # reproduce this row without consulting PERF_NOTES
             "env": {"BENCH_QUANT": quant_env, "BENCH_EMBED_BITS": embed_bits or 0,
@@ -250,7 +276,9 @@ def bench_emu3():
                 "step_reduction_vs_ar": round(gen / max(nfe, 1), 3),
                 "ms_per_forward": round(1000 * latency / max(nfe, 1), 1),
                 "accept_hist": _hist(res.accept_hist),
-                "compile_s": round(compile_and_run - latency, 1),
+                "warmup_s": round(compile_and_run, 1),
+                "init_s": round(init_s, 1),
+                **_compile_fields(cw0),
                 "env": {"BENCH_QUANT": quant_env,
                         "BENCH_EMBED_BITS": embed_bits or 0,
                         "BENCH_CHUNK_STEPS": chunk, "BENCH_EMU3_GRID": h,
@@ -270,7 +298,7 @@ def bench_llamagen():
     (steps + wall-clock vs AR, test_llamagen.py flow). BENCH_LLAMAGEN_MODE:
     t2i (default; 120-token caption prefix from stand-in T5 features, the
     reference's precomputed-embedding path) or c2i (single class token)."""
-    _enable_cache()
+    cw0 = _enable_cache()
     import jax
     import jax.numpy as jnp
 
@@ -299,9 +327,11 @@ def bench_llamagen():
 
     eng = build(int(os.environ.get("BENCH_WINDOW", "16")))
     cfg = eng.model_cfg
+    t_init = time.time()
     params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
     cond = init_cond_params(jax.random.PRNGKey(1), cfg, model_type=mode)
     jax.block_until_ready(params)
+    init_s = time.time() - t_init
 
     if mode == "t2i":
         feats = jax.random.normal(
@@ -323,6 +353,9 @@ def bench_llamagen():
     t0 = time.time()
     run(eng, 0)
     compile_and_run = time.time() - t0
+    # compile accounting snapshotted here so the AR-baseline compile below
+    # does not pollute the SJD row's compile_s
+    cfields = _compile_fields(cw0)
     t0 = time.time()
     res = run(eng, 1)
     latency = time.time() - t0
@@ -351,7 +384,9 @@ def bench_llamagen():
         "ar_latency_s": round(ar_latency, 2),
         "ar_nfe": ar_nfe,
         "accept_hist": _hist(res.accept_hist),
-        "compile_s": round(compile_and_run - latency, 1),
+        "warmup_s": round(compile_and_run, 1),
+        "init_s": round(init_s, 1),
+        **cfields,
         "env": {"BENCH_GPT": name, "BENCH_LLAMAGEN_MODE": mode,
                 "BENCH_WINDOW": eng.config.window,
                 "grammar_seed": eng.config.grammar_seed},
@@ -367,7 +402,7 @@ def bench_anole():
     1024-token 32x32 image after <boi>) under SJD vs plain AR on the same
     chip, int4 W4A16 weights like the Lumina flagship. No A100 baseline
     exists for the reference's anole flow, so vs_baseline is AR-on-chip."""
-    _enable_cache()
+    cw0 = _enable_cache()
     import jax
     import jax.numpy as jnp
 
@@ -387,6 +422,7 @@ def bench_anole():
     eng = build(int(os.environ.get("BENCH_WINDOW", "16")))
     cfg = eng.model_cfg
     bits = 4 if quant_env in ("4", "w4a8") else 8
+    t_init = time.time()
     if quant_env != "0":
         params = jax.jit(
             lambda k: quantize_weights(
@@ -401,6 +437,7 @@ def bench_anole():
     else:
         params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    init_s = time.time() - t_init
 
     prompt = jnp.asarray(
         [list(range(9000, 9014)) + [BOI_ID]], jnp.int32)
@@ -415,6 +452,8 @@ def bench_anole():
     t0 = time.time()
     run(eng, 0)
     compile_and_run = time.time() - t0
+    # snapshot before the AR-baseline build compiles (see bench_llamagen)
+    cfields = _compile_fields(cw0)
     t0 = time.time()
     res = run(eng, 1)
     latency = time.time() - t0
@@ -445,7 +484,9 @@ def bench_anole():
         "ar_latency_s": round(ar_latency, 2),
         "ar_nfe": ar_nfe,
         "accept_hist": _hist(res.accept_hist),
-        "compile_s": round(compile_and_run - latency, 1),
+        "warmup_s": round(compile_and_run, 1),
+        "init_s": round(init_s, 1),
+        **cfields,
         "env": {"BENCH_QUANT": quant_env,
                 "BENCH_WINDOW": eng.config.window,
                 "grammar_seed": eng.config.grammar_seed},
@@ -460,7 +501,7 @@ def bench_lumina(serving: bool = False):
     """serving=True runs the continuous-batching throughput row at its tuned
     configuration (20 prompts / 5 slots / chunk 192 / W4A8 — the measured
     single-chip optimum, PERF_NOTES.md) regardless of the env knobs."""
-    _enable_cache()
+    cw0 = _enable_cache()
     import jax
     import jax.numpy as jnp
 
@@ -510,6 +551,7 @@ def bench_lumina(serving: bool = False):
     bits = 4 if quant_env in ("4", "w4a8") else 8
     head_bits = int(os.environ.get("BENCH_HEAD_BITS", "8"))
     embed_bits = int(os.environ.get("BENCH_EMBED_BITS", "0")) or None
+    t_init = time.time()
     if quant:
         # Quantized-weight serving mode (W8A16/W4A16; see DecoderConfig
         # .act_quant and quantize_weights). Fused with init so bf16 and
@@ -532,6 +574,7 @@ def bench_lumina(serving: bool = False):
     else:
         params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
+    init_s = time.time() - t_init
 
     # synthetic T2I prompts: 50 text tokens then <image_start> <h> <w>.
     # batch > 1 exercises per-sample divergent acceptance lengths (the
@@ -598,9 +641,9 @@ def bench_lumina(serving: bool = False):
             "nfe": batcher.last_nfe,
             "accept_hist": _hist(batcher.last_accept_hist),
             "wall_s": round(latency, 2),
-            "compile_s": round(
-                compile_and_run - latency * (batch + 1) / stream_n, 1
-            ),
+            "warmup_s": round(compile_and_run, 1),
+            "init_s": round(init_s, 1),
+            **_compile_fields(cw0),
             "env": {"BENCH_QUANT": quant_env,
                     "BENCH_EMBED_BITS": embed_bits or 0,
                     "BENCH_CHUNK": chunk, "BENCH_WINDOW": window,
@@ -682,7 +725,9 @@ def bench_lumina(serving: bool = False):
                 "vs_baseline_at_ref_nfe": round(
                     BASELINE_LATENCY_S / at_ref_nfe, 3),
                 "nfe_seed_band": "841-1139 (random weights, README)",
-                "compile_s": round(compile_and_run - latency, 1),
+                "warmup_s": round(compile_and_run, 1),
+                "init_s": round(init_s, 1),
+                **_compile_fields(cw0),
                 "baseline": f"A100+PyTorch SJD {BASELINE_LATENCY_S}s / 1115 NFE (BASELINE.md)",
             }
         )

@@ -158,9 +158,15 @@ def decode_attention(
     group = H // Hkv
     chunk = min(chunk, L)
     if L % chunk:
-        # fall back to the largest power-of-two chunk that divides L, or a
-        # single whole-buffer chunk (always exact)
-        chunk = next((c for c in (512, 256, 128, 64) if c < L and L % c == 0), L)
+        # fall back to the largest power-of-two chunk that divides L, else
+        # the largest divisor of L within the requested chunk (the engine
+        # pads its KV buffer to 512-multiples, engine.py, so this path only
+        # serves ad-hoc probe/test lengths — a whole-buffer chunk at e.g.
+        # L=2453 blows the ~16 MB scoped-VMEM limit)
+        chunk = next(
+            (c for c in (512, 256, 128, 64) if c < L and L % c == 0),
+            max(d for d in range(1, min(chunk, L) + 1) if L % d == 0),
+        )
     # Scoped-VMEM guard: ~3 live f32 score intermediates [Hkv, GW, chunk],
     # double-buffered K/V chunk DMAs, and the q/out/acc blocks must fit the
     # ~16 MB scoped limit; halve the chunk until the estimate fits 14 MB

@@ -280,3 +280,24 @@ def test_decode_attention_stacked_layer_select():
     want = decode_attention(q, kq8[:, 1], vq8[:, 1], ks[:, 1], vs[:, 1],
                             cache_end, valid, window=W, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_decode_attention_odd_buffer_length_divisor_fallback():
+    """L with no power-of-two divisor (e.g. 1100 = 4x275) must fall back to
+    the largest divisor within the requested chunk rather than a whole-buffer
+    chunk — a whole-L block at production lengths (2453) exceeds the ~16 MB
+    scoped-VMEM limit (round-5 latency_budget crash)."""
+    S, W, H, Hkv, D, L = 1, 4, 4, 2, 8, 1100
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (S, W, H, D), jnp.float32)
+    k = jax.random.normal(kk, (S, L, Hkv, D), jnp.float32)
+    v = jax.random.normal(kv_, (S, L, Hkv, D), jnp.float32)
+    cache_end = jnp.asarray([700], jnp.int32)
+    valid = jnp.ones((S, L), bool).at[0, :9].set(False)
+
+    got = decode_attention(q, k, v, None, None, cache_end, valid,
+                           window=W, interpret=True)
+    want = _reference_attn(q, k, v, cache_end, valid, W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
