@@ -74,22 +74,45 @@ def _enable_cache():
 
     enable_persistent_cache()
     compile_watch.install()
-    return compile_watch.snapshot()
+    from sjd_tpu.utils import aot_cache
+
+    return (compile_watch.snapshot(), dict(aot_cache.STATS))
 
 
 def _compile_fields(cw0):
     """Measured compile accounting for a bench row. Replaces the old
     wall-clock subtraction estimate (which once "measured" a warm compile
     as slower than cold): compile_s sums the PJRT compile wall time of every
-    program built for the row — persistent-cache hits contribute only their
-    deserialization seconds (broken out as retrieval_s) — and hit/miss
-    counts make warm-start runs distinguishable from the artifact alone
+    program built for the row. On a persistent-cache HIT that duration is
+    the executable deserialize+load (measured: a CPU hit still logs ~0.9 s
+    of "backend compile" — the load path fires the same monitoring event);
+    retrieval_s is the disk-read share of it. So warm runs are identified by
+    hits>0 and compile_s collapsing toward load time, not to zero
     (VERDICT r4 #8). Includes the params init/quantize program compiles;
-    init_s (reported separately) is the wall time of running them."""
-    d = compile_watch.delta(cw0)
+    init_s (reported separately) is the wall time of running them.
+
+    The ``aot`` sub-dict (present when the serialized-executable cache was
+    exercised) accounts the remaining warm-start cost: ``load_s`` is
+    deserialize+device-load of persisted executables — the phase that
+    replaces trace+lowering+compile entirely (utils/aot_cache.py)."""
+    from sjd_tpu.utils import aot_cache
+
+    snap, aot0 = cw0
+    d = compile_watch.delta(snap)
+    aot = {
+        k: round(v - aot0.get(k, 0), 2) if isinstance(v, float)
+        else v - aot0.get(k, 0)
+        for k, v in aot_cache.STATS.items()
+    }
+    extra = {"aot": aot} if any(aot.values()) else {}
     return {
+        **extra,
         "compile_s": round(d["backend_compile_s"], 1),
-        "trace_lower_s": round(d["trace_s"] + d["lowering_s"], 1),
+        # split so the tunnel-blocked share is localizable: trace_s is
+        # Python abstract interpretation, lowering_s is jaxpr->StableHLO
+        # (incl. Pallas/Mosaic serialization)
+        "trace_s": round(d["trace_s"], 1),
+        "lowering_s": round(d["lowering_s"], 1),
         "compile_cache": {
             "hits": d["cache_hits"],
             "misses": d["cache_misses"],
@@ -753,6 +776,10 @@ def main():
         bench_llamagen()
     elif which == "anole":
         bench_anole()
+    elif which == "serving":
+        # the tuned continuous-batching throughput row alone (warm-start
+        # cold/warm measurement drives this row in isolation)
+        bench_lumina(serving=True)
     else:
         bench_emu3()
         gc.collect()  # free the 8B params + 720p KV before the 7B build

@@ -50,6 +50,27 @@ def _timeit(fn, *args, iters=30):
     return (time.time() - t0) / iters * 1000.0
 
 
+def _dispatch_overhead_ms(iters=60):
+    """Per-call dispatch cost of this runtime (host->device launch; on the
+    axon tunnel each execute is an RPC). Every standalone probe here pays it
+    once per call, while the engine amortizes ONE dispatch over a whole
+    chunked while_loop generate — so probe components must be read net of
+    this constant to be comparable with engine_step_ms. Measured as a chained
+    trivial jitted op (data dependency defeats both XLA loop folding and
+    async-dispatch queueing ahead)."""
+    import jax
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8, 128), jnp.float32)
+    x = f(x)
+    _fetch(x)
+    t0 = time.time()
+    for _ in range(iters):
+        x = f(x)
+    _fetch(x)
+    return (time.time() - t0) / iters * 1000.0
+
+
 def main():
     from sjd_tpu.models import init_params
     from sjd_tpu.models.chameleon import (
@@ -214,19 +235,28 @@ def main():
     out["sampling_ms"] = round(
         _timeit(jax.jit(samp), logits, jax.random.PRNGKey(3)), 2)
 
-    # ---- engine step total (short measured generate) ------------------------
+    # ---- per-call dispatch constant -----------------------------------------
+    out["dispatch_ms"] = round(_dispatch_overhead_ms(), 2)
+
+    # ---- engine step total (short measured generates) -----------------------
+    # low fill: cache_end ramps ~53 -> ~450 (1 live 512-chunk of attention);
+    # high fill: a ~1200-token prompt starts decode at the flagship run's
+    # MEAN cache occupancy (3 live chunks), comparable with fwd_ms above
     size_tok = SIZE_TOKEN_BASE + 24
-    prompt = jnp.asarray(
-        [list(range(9000, 9050)) + [IMAGE_START_ID, size_tok, size_tok]],
-        jnp.int32)
-    res = eng.generate(params, jax.random.PRNGKey(0), prompt, max_steps=40)
-    _fetch(res.tokens)
-    t0 = time.time()
-    res = eng.generate(params, jax.random.PRNGKey(1), prompt, max_steps=200)
-    _fetch(res.tokens)
-    dt = time.time() - t0
-    out["engine_step_ms"] = round(dt / int(res.nfe) * 1000.0, 2)
-    out["nfe_sampled"] = int(res.nfe)
+    for tag, text_len in (("lowfill", 50), ("highfill", 1200)):
+        prompt = jnp.asarray(
+            [[9000 + (i % 50) for i in range(text_len)]
+             + [IMAGE_START_ID, size_tok, size_tok]],
+            jnp.int32)
+        res = eng.generate(params, jax.random.PRNGKey(0), prompt, max_steps=40)
+        _fetch(res.tokens)
+        t0 = time.time()
+        res = eng.generate(params, jax.random.PRNGKey(1), prompt,
+                           max_steps=200)
+        _fetch(res.tokens)
+        dt = time.time() - t0
+        out[f"engine_step_{tag}_ms"] = round(dt / int(res.nfe) * 1000.0, 2)
+        out[f"nfe_sampled_{tag}"] = int(res.nfe)
     out["config"] = {
         "model": "lumina-7B int4 W4A16 (int8 head)", "batch_cfg": B,
         "window": W, "kv_quant": True, "head": head_key,

@@ -174,9 +174,30 @@ class SJDEngine:
         # and alias the outputs in place — without donation every chunked
         # dispatch transiently holds TWO copies (a ~4.4 GB HBM spike on the
         # Emu3 8B 720p cache) plus the copy traffic.
-        self._generate = jax.jit(self._generate_impl)
-        self._continue = jax.jit(self._continue_impl, donate_argnums=(1,))
-        self._refill = jax.jit(self._refill_impl, donate_argnums=(1,))
+        #
+        # persisted_jit serializes the compiled executable to disk keyed on
+        # (arg avals, this config key, source hash): a warm process start
+        # loads it directly, skipping trace AND lowering — the phases the
+        # persistent XLA cache cannot skip (measured 325 s of lowering on a
+        # fully-cache-hit serving start; utils/aot_cache.py). Falls back to
+        # plain jax.jit where the backend can't round-trip executables (CPU).
+        from ..utils.aot_cache import persisted_jit
+
+        def _aot_key() -> str:
+            return repr((
+                self.config, self.sampling, self.spec,
+                getattr(self, "model_cfg", None), self.ar_fast_path,
+                self.model.vocab_size,
+            ))
+
+        self._generate = persisted_jit(
+            self._generate_impl, key_fn=_aot_key, tag="generate")
+        self._continue = persisted_jit(
+            self._continue_impl, donate_argnums=(1,), key_fn=_aot_key,
+            tag="continue")
+        self._refill = persisted_jit(
+            self._refill_impl, donate_argnums=(1,), key_fn=_aot_key,
+            tag="refill")
 
     # -- public API -----------------------------------------------------------
 

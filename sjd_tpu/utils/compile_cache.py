@@ -45,9 +45,13 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # cache everything that took >=1s to compile, regardless of size: the
-    # decode loop serializes to a few MB, trivially worth it
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache EVERY program regardless of compile time or size: with the >=1s
+    # default the small per-leaf persist/init programs were stored only when
+    # remote-compile congestion happened to push them over the threshold, so
+    # "warm" starts still recompiled a congestion-dependent subset (measured:
+    # 4 hits + 4 misses on a warm lumina bench). The decode loop serializes
+    # to a few MB; the small entries are KBs.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     _enabled = True
     return cache_dir

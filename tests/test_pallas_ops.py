@@ -63,6 +63,33 @@ def test_decode_attention_int8_close_to_fp():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0.05, atol=0.05)
 
 
+def test_decode_attention_bf16_int8_close_to_fp():
+    """Production dtype mix (bf16 queries + int8 cache): the kernel keeps the
+    dots in bf16 at the MXU rate (f32 accumulation). int8 cache values are
+    exact in bf16, so only the PV softmax-prob operand rounds — output must
+    stay within quant-noise tolerance of the full-f32 reference."""
+    from sjd_tpu.models.transformer import _quantize_rows
+
+    S, W, H, Hkv, D, L = 2, 4, 8, 4, 16, 64
+    key = jax.random.PRNGKey(11)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q32 = jax.random.normal(kq, (S, W, H, D), jnp.float32)
+    k = jax.random.normal(kk, (S, L, Hkv, D), jnp.float32)
+    v = jax.random.normal(kv_, (S, L, Hkv, D), jnp.float32)
+    kq8, ks = _quantize_rows(k)
+    vq8, vs = _quantize_rows(v)
+    cache_end = jnp.asarray([12, 33], jnp.int32)
+    valid = jnp.ones((S, L), bool).at[1, :4].set(False)
+
+    q = q32.astype(jnp.bfloat16)
+    got = decode_attention(q, kq8, vq8, ks, vs, cache_end, valid,
+                           window=W, chunk=16, interpret=True)
+    want = _reference_attn(q.astype(jnp.float32), k, v, cache_end, valid, W)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=0.06, atol=0.06)
+
+
 def test_decode_attention_multichunk_matches_reference():
     """Multi-chunk flash path with a live edge mid-buffer: online-softmax
     merge + dead-chunk skipping must still be exact."""
