@@ -60,6 +60,23 @@ def main():
 
     install_subbyte_layout_workaround()
     out = {}
+    # context row: raw HBM read ceiling with no unpack work — a bf16
+    # sum-reduce (convert-to-f32 is one VPU op per element, the cheapest
+    # full-rate read XLA will express). Separates "memory system" from
+    # "nibble unpack" in the s4/s8 rows below.
+    wb = jax.random.normal(jax.random.PRNGKey(1), (96, 4096, 4096),
+                           jnp.bfloat16)  # 3.2 GB
+    jax.block_until_ready(wb)
+
+    @jax.jit
+    def stream_bf16(w, acc):
+        return acc + jnp.sum(w.astype(jnp.float32)) * 1e-9
+
+    t = _time_chained(stream_bf16, wb, iters=10)
+    out["stream_bf16_gbps"] = round(wb.nbytes / t / 1e9, 1)
+    out["stream_bf16_ms"] = round(t * 1e3, 2)
+    del wb
+
     # ~3.2 GB of payload, mirroring the 7B int4 projection mass
     K, N = 4096, 8192
     blocks = 96  # 96 x 4096 x 8192 = 3.2e9 weights

@@ -60,17 +60,21 @@ def kth_largest(scores: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """EXACT per-row k-th largest value over the last axis by radix select.
 
     fp32 values map to monotonically ordered uint32 keys (the classic
-    sign-flip trick), then FOUR radix-256 rounds (one per byte, most
-    significant first) build the largest threshold t with
-    count(key >= t) >= k — which is exactly the k-th largest key. Each round
-    is ONE streaming pass over [.., V]: every element lands in a digit
-    bucket relative to the current prefix, a 257-bucket histogram is fused
-    into the reduce, and the digit is read off the suffix sums. Four passes
-    replace the earlier 32 bit-wise rounds (each a full pass plus a
-    sequential-loop barrier — measured ~1 ms of the flagship step, ~4x
-    that on Emu3's 184622 vocab; lax.top_k costs 7.9 ms there). Returns the
-    same float the sort-based k-th element would, so threshold filtering is
-    bit-identical.
+    sign-flip trick), then 32 bit-wise rounds build the largest threshold t
+    with count(key >= t) >= k — which is exactly the k-th largest key. Each
+    round is one fused compare+reduce pass over [.., V], so the cost is ~32
+    streaming passes instead of a full sort: measured on v5e, lax.top_k over
+    Emu3's 184622-token vocab costs 7.9 ms per decode step (38% of the whole
+    step) vs ~1 ms for this. Returns the same float the sort-based k-th
+    element would, so threshold filtering is bit-identical.
+
+    A radix-256 variant (4 histogram passes via one_hot-into-reduce instead
+    of 32 compare passes) was tried and REVERTED: XLA does not fuse the
+    [.., V, 257] one_hot into the reduce on TPU — measured 16.3 ms (65k
+    vocab) / 86.4 ms (184k) vs 1.3 / 1.1 ms for this loop (2026-08-19 A/B,
+    PERF_NOTES "Per-step latency budget (round 5)"). The bit-serial loop's
+    32 passes are cheap because each is a pure VPU compare+reduce at full
+    HBM rate with no materialized intermediate.
 
     ``k`` broadcasts against the row shape (per-row k is free — the
     interleaved image/text top-k needs no second pass).
@@ -81,31 +85,15 @@ def kth_largest(scores: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     key = jnp.where(sign, ~u, u | jnp.uint32(0x80000000))
     k = jnp.broadcast_to(jnp.asarray(k, jnp.int32), rows)
 
-    t = jnp.zeros(rows, jnp.uint32)
-    for shift in (24, 16, 8, 0):
-        # digit bucket per element: q = m <=> key >= prefix + (m << shift),
-        # for m <= 255; keys below the prefix fall in bucket 0, keys at or
-        # beyond prefix + (256 << shift) (they exist — the previous round
-        # only bounds their COUNT below k) clamp into overflow bucket 256,
-        # which every suffix sum includes
-        delta = key - t[..., None]  # uint32; wraps for key < prefix
-        below = key < t[..., None]
-        q = jnp.where(
-            below,
-            jnp.uint32(0),
-            jnp.minimum(delta >> jnp.uint32(shift), jnp.uint32(256)),
-        ).astype(jnp.int32)
-        hist = jnp.sum(
-            jax.nn.one_hot(q, 257, dtype=jnp.int32, axis=-1), axis=-2
-        )  # [..., 257]; one_hot fuses into the reduce — nothing materializes
-        # cnt_d = count(key >= prefix | d << shift) = sum_{m >= d} hist[m]
-        rev = jnp.cumsum(hist[..., ::-1], axis=-1)[..., ::-1]
-        # largest digit d in [0, 255] with cnt_d >= k (d = 0 always
-        # qualifies: count(key >= prefix) >= k holds by induction)
-        d = jnp.sum(
-            (rev[..., 1:257] >= k[..., None]).astype(jnp.int32), axis=-1
-        ).astype(jnp.uint32)
-        t = t | (d << jnp.uint32(shift))
+    def round_(i, t):
+        bit = jnp.left_shift(jnp.uint32(1), jnp.uint32(31) - i.astype(jnp.uint32))
+        cand = t | bit
+        cnt = jnp.sum(
+            (key >= cand[..., None]).astype(jnp.int32), axis=-1
+        )
+        return jnp.where(cnt >= k, cand, t)
+
+    t = jax.lax.fori_loop(0, 32, round_, jnp.zeros(rows, jnp.uint32))
     neg = (t >> jnp.uint32(31)) == 0  # keys below 0x80000000 came from negatives
     bits = jnp.where(neg, ~t, t ^ jnp.uint32(0x80000000))
     return jax.lax.bitcast_convert_type(bits, jnp.float32)

@@ -72,17 +72,16 @@ def _flash_decode_kernel(
 
     @pl.when(live)
     def _compute():
-        # MXU dtype: bf16 queries (production) keep their dtype so the dots
-        # run at the bf16 MXU rate with f32 accumulation — int8 cache values
-        # are EXACT in bf16 (8-bit mantissa), so QK^T is mathematically
-        # unchanged vs the f32 upcast; only the PV left operand (softmax
-        # probs) rounds to bf16 there. f32 queries (parity tests, fp caches)
-        # keep the full-f32 path. Measured: the f32 dots dominated the
-        # per-live-chunk cost (PERF_NOTES "Per-step latency budget").
-        dt = q_ref.dtype if q_ref.dtype == jnp.bfloat16 else jnp.float32
-        q = q_ref[0].astype(dt)  # [Hkv, GW, D]
-        k = k_ref[0, 0].astype(dt)  # [C, Hkv, D]
-        v = v_ref[0, 0].astype(dt)
+        # f32 compute throughout. A bf16-dot variant (keep bf16 queries at
+        # the bf16 MXU rate, f32 accumulation) was tried and REVERTED: in a
+        # standalone kernel microbenchmark it measured 15-20% faster, but in
+        # the full 30-layer forward it cost ~+0.2 ms/layer (fwd 10.9 ->
+        # 17.1 ms; 2026-08-19 A/B, PERF_NOTES "Per-step latency budget
+        # (round 5)") — the bf16 [C,Hkv,D] transposes force packed-sublane
+        # relayouts that Mosaic hides when the operands are already f32.
+        q = q_ref[0].astype(jnp.float32)  # [Hkv, GW, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [C, Hkv, D]
+        v = v_ref[0, 0].astype(jnp.float32)
         ks = ks_ref[0, 0].astype(jnp.float32)  # [C, Hkv]
         vs = vs_ref[0, 0].astype(jnp.float32)
 
@@ -107,7 +106,7 @@ def _flash_decode_kernel(
         corr = jnp.exp(m_prev - m_new)
         l_ref[...] = l_prev * corr + jnp.sum(p, axis=-1)
         pv = jax.lax.dot_general(
-            (p * vs.T[:, None, :]).astype(dt), v.transpose(1, 0, 2),
+            p * vs.T[:, None, :], v.transpose(1, 0, 2),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [Hkv, GW, D]
